@@ -1,0 +1,438 @@
+"""Self-describing integer-array payloads: plain / bitpack / FOR / delta /
+RLE / dict / FSST, with statistics-driven auto-selection.
+
+Payload grammar (all little-endian, `codec_id:u8` first — the analogue of the
+reference's FieldKind dispatch in decode_record, crates/copybook-codec/src/
+lib_api.rs:401, and of its detect-then-choose encoding policy,
+crates/copybook-codec/src/numeric.rs:308-396):
+
+  payload  := codec_id:u8 body
+  plain    := n:u32 width:u8(4|8) raw[n*width]
+  bitpack  := n:u32 width:u8 packed[ceil(n*width/8)]        (values >= 0)
+  for      := n:u32 ref:i64 sub:payload(values - ref)
+  delta    := n:u32 sub:payload(zigzag(diff with first-from-0))
+  rle      := n:u32 n_runs:u32 len1:u32 sub1:payload(run values)
+                                len2:u32 sub2:payload(run lengths)
+  dict     := n:u32 d:u32 len1:u32 sub1:payload(sorted unique values)
+                           len2:u32 sub2:payload(indices)
+  fsst     := n:u32 nbytes:u32 table len:u32 codes[len]
+              (values -> zigzag -> varint byte stream -> fsst codes)
+
+Estimated sizes mirror the real layouts, so auto-selection ("auto") is a
+near-exact argmin; a final guard re-encodes as plain if the winner ever comes
+out larger (cannot regress past plain).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from copybook_rs_spark.codecs import bitpack as bp
+from copybook_rs_spark.codecs import fsst as fsst_mod
+from copybook_rs_spark.codecs import varint as vi
+from copybook_rs_spark.errors import (
+    CountMismatchError,
+    PayloadCorruptError,
+    TruncatedBlobError,
+    UnknownCodecError,
+    ValueOverflowError,
+)
+
+CODEC_PLAIN = 0
+CODEC_BITPACK = 1
+CODEC_FOR = 2
+CODEC_RLE = 3
+CODEC_DICT = 4
+CODEC_FSST = 5
+CODEC_DELTA = 6
+
+CODEC_NAMES = {
+    CODEC_PLAIN: "plain",
+    CODEC_BITPACK: "bitpack",
+    CODEC_FOR: "for",
+    CODEC_RLE: "rle",
+    CODEC_DICT: "dict",
+    CODEC_FSST: "fsst",
+    CODEC_DELTA: "delta",
+}
+CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
+
+# deterministic tie-break order (prefer simpler/faster codec on equal size)
+_TIE_RANK = ["plain", "bitpack", "for", "delta", "rle", "dict", "fsst"]
+
+_U32 = struct.Struct("<I")
+_HDR_PLAIN = struct.Struct("<IB")
+_HDR_FOR = struct.Struct("<Iq")
+_HDR_RLE = struct.Struct("<II")
+
+
+@dataclass
+class ChunkStats:
+    """One-pass statistics over an int64 array; drives codec choice.
+
+    The analogue of the reference's RunSummary + ZonedEncodingInfo stats
+    (crates/copybook-codec/src/lib_api.rs:232, numeric.rs:308).
+    """
+
+    n: int
+    vmin: int
+    vmax: int
+    n_distinct: int
+    n_runs: int
+    is_sorted: bool
+    max_run_len: int
+    max_zz_delta: int
+    _uniq: np.ndarray | None = field(default=None, repr=False)
+    _run_break_idx: np.ndarray | None = field(default=None, repr=False)
+
+    @classmethod
+    def analyze(cls, vals: np.ndarray) -> "ChunkStats":
+        n = len(vals)
+        if n == 0:
+            return cls(0, 0, 0, 0, 0, True, 0, 0)
+        v = np.ascontiguousarray(vals, dtype=np.int64)
+        vmin = int(v.min())
+        vmax = int(v.max())
+        # modular (uint64) diffs: wrap-free even at int64 extremes
+        vu = v.view(np.uint64)
+        diffs_u = vu[1:] - vu[:-1]
+        breaks = np.flatnonzero(diffs_u != 0)
+        n_runs = len(breaks) + 1
+        run_bounds = np.concatenate(([-1], breaks, [n - 1]))
+        max_run = int(np.diff(run_bounds).max())
+        is_sorted = bool((v[1:] >= v[:-1]).all()) if n > 1 else True
+        uniq = np.unique(v)
+        zz_first = vi.zigzag_encode(v[:1])
+        zz_rest = vi.zigzag_encode(diffs_u.view(np.int64))
+        max_zz = int(max(zz_first.max(), zz_rest.max()) if n > 1 else zz_first.max())
+        return cls(
+            n=n,
+            vmin=vmin,
+            vmax=vmax,
+            n_distinct=len(uniq),
+            n_runs=n_runs,
+            is_sorted=is_sorted,
+            max_run_len=max_run,
+            max_zz_delta=max_zz,
+            _uniq=uniq,
+            _run_break_idx=breaks,
+        )
+
+
+def _est_sub(n: int, max_val: int) -> int:
+    """Size estimate for the best non-recursive sub-payload of n values in
+    [0, max_val]: min(plain, bitpack)."""
+    if n == 0:
+        return 6
+    plain = 6 + 4 * n if max_val < 2**31 else 6 + 8 * n
+    pack = 6 + bp.packed_size(n, bp.bit_width(max_val))
+    return min(plain, pack)
+
+
+def estimate_sizes(s: ChunkStats) -> dict[str, int]:
+    """Estimated encoded bytes per codec (payload incl. codec_id)."""
+    n = s.n
+    est: dict[str, int] = {}
+    est["plain"] = 1 + 6 + (4 * n if -(2**31) <= s.vmin and s.vmax < 2**31 else 8 * n)
+    if s.vmin >= 0:
+        est["bitpack"] = 1 + 6 + bp.packed_size(n, bp.bit_width(s.vmax))
+    rng = s.vmax - s.vmin
+    est["for"] = 1 + 13 + _est_sub(n, rng) if n else 1 + 13 + 6
+    est["delta"] = 1 + 5 + _est_sub(n, s.max_zz_delta)
+    r = s.n_runs
+    est["rle"] = (
+        1 + 9 + 8 + (1 + 13 + _est_sub(r, rng)) + _est_sub(r, s.max_run_len)
+    )
+    d = s.n_distinct
+    if d > 0:
+        est["dict"] = (
+            1 + 9 + 8
+            + (1 + 13 + _est_sub(d, rng))
+            + (6 + bp.packed_size(n, bp.bit_width(max(d - 1, 0))))
+        )
+    return est
+
+
+def _encode_sub(vals_u: np.ndarray, max_val: int) -> bytes:
+    """Encode a logically-unsigned sub-array (uint64, true values in
+    [0, 2^64)) with the smaller of plain/bitpack. Stored plain as the int64
+    bit view; decode sides re-view as uint64 where unsigned semantics apply."""
+    u = np.ascontiguousarray(vals_u, dtype=np.uint64)
+    n = len(u)
+    if n:
+        w = bp.bit_width(max_val)
+        plain_w = 4 if max_val < 2**31 else 8
+        if bp.packed_size(n, w) <= plain_w * n:
+            return bytes([CODEC_BITPACK]) + _HDR_PLAIN.pack(n, w) + bp.pack(u, w)
+    return _encode_plain(u.view(np.int64))
+
+
+def _encode_plain(vals: np.ndarray) -> bytes:
+    v = np.ascontiguousarray(vals, dtype=np.int64)
+    n = len(v)
+    if n and (v.min() < -(2**31) or v.max() >= 2**31):
+        return bytes([CODEC_PLAIN]) + _HDR_PLAIN.pack(n, 8) + v.astype("<i8").tobytes()
+    return bytes([CODEC_PLAIN]) + _HDR_PLAIN.pack(n, 4) + v.astype("<i4").tobytes()
+
+
+def _encode_bitpack(vals: np.ndarray, width: int | None = None) -> bytes:
+    v = np.ascontiguousarray(vals, dtype=np.int64)
+    n = len(v)
+    if n == 0:
+        return bytes([CODEC_BITPACK]) + _HDR_PLAIN.pack(0, 0)
+    mn, mx = int(v.min()), int(v.max())
+    if mn < 0:
+        raise ValueOverflowError("bitpack requires non-negative values")
+    w = width if width is not None else bp.bit_width(mx)
+    return (
+        bytes([CODEC_BITPACK])
+        + _HDR_PLAIN.pack(n, w)
+        + bp.pack(v.astype(np.uint64), w)
+    )
+
+
+def _encode_for(vals: np.ndarray) -> bytes:
+    v = np.ascontiguousarray(vals, dtype=np.int64)
+    n = len(v)
+    ref = int(v.min()) if n else 0
+    # modular subtraction in uint64 space: v - vmin always fits [0, 2^64)
+    shifted_u = v.view(np.uint64) - np.uint64(ref % (1 << 64)) if n else v.view(np.uint64)
+    mx = (int(v.max()) - ref) if n else 0
+    return bytes([CODEC_FOR]) + _HDR_FOR.pack(n, ref) + _encode_sub(shifted_u, mx)
+
+
+def _encode_delta(vals: np.ndarray) -> bytes:
+    v = np.ascontiguousarray(vals, dtype=np.int64)
+    n = len(v)
+    vu = v.view(np.uint64)
+    deltas_u = np.empty(n, dtype=np.uint64)
+    if n:
+        deltas_u[0] = vu[0]
+        np.subtract(vu[1:], vu[:-1], out=deltas_u[1:])  # modular
+    zz = vi.zigzag_encode(deltas_u.view(np.int64))
+    mx = int(zz.max()) if n else 0
+    return bytes([CODEC_DELTA]) + _U32.pack(n) + _encode_sub(zz, mx)
+
+
+def _run_split(vals: np.ndarray, breaks: np.ndarray | None = None):
+    v = np.ascontiguousarray(vals, dtype=np.int64)
+    n = len(v)
+    if n == 0:
+        return v, np.empty(0, dtype=np.int64)
+    if breaks is None:
+        breaks = np.flatnonzero(np.diff(v) != 0)
+    starts = np.concatenate(([0], breaks + 1))
+    ends = np.concatenate((breaks + 1, [n]))
+    return v[starts], ends - starts
+
+
+def _encode_rle(vals: np.ndarray, stats: ChunkStats | None = None) -> bytes:
+    breaks = stats._run_break_idx if stats is not None else None
+    run_vals, run_lens = _run_split(vals, breaks)
+    sub_v = _encode_for(run_vals)
+    sub_l = _encode_sub(run_lens, int(run_lens.max()) if len(run_lens) else 0)
+    return (
+        bytes([CODEC_RLE])
+        + _HDR_RLE.pack(len(vals), len(run_vals))
+        + _U32.pack(len(sub_v))
+        + sub_v
+        + _U32.pack(len(sub_l))
+        + sub_l
+    )
+
+
+def _encode_dict(vals: np.ndarray, stats: ChunkStats | None = None) -> bytes:
+    v = np.ascontiguousarray(vals, dtype=np.int64)
+    uniq = stats._uniq if stats is not None and stats._uniq is not None else None
+    if uniq is None:
+        uniq, idx = np.unique(v, return_inverse=True)
+    else:
+        idx = np.searchsorted(uniq, v)
+    d = len(uniq)
+    sub_u = _encode_for(uniq)
+    sub_i = _encode_bitpack(
+        idx.astype(np.int64), bp.bit_width(max(d - 1, 0))
+    ) if len(v) else _encode_bitpack(idx.astype(np.int64))
+    return (
+        bytes([CODEC_DICT])
+        + _HDR_RLE.pack(len(v), d)
+        + _U32.pack(len(sub_u))
+        + sub_u
+        + _U32.pack(len(sub_i))
+        + sub_i
+    )
+
+
+def _encode_fsst(vals: np.ndarray) -> bytes:
+    v = np.ascontiguousarray(vals, dtype=np.int64)
+    n = len(v)
+    stream = np.frombuffer(vi.varint_encode(vi.zigzag_encode(v)), dtype=np.uint8)
+    table = fsst_mod.train(stream)
+    codes = fsst_mod.compress(stream, table)
+    tbl = table.serialize()
+    return (
+        bytes([CODEC_FSST])
+        + _U32.pack(n)
+        + _U32.pack(len(stream))
+        + tbl
+        + _U32.pack(len(codes))
+        + codes
+    )
+
+
+_ENCODERS = {
+    "plain": lambda v, s: _encode_plain(v),
+    "bitpack": lambda v, s: _encode_bitpack(v),
+    "for": lambda v, s: _encode_for(v),
+    "delta": lambda v, s: _encode_delta(v),
+    "rle": lambda v, s: _encode_rle(v, s),
+    "dict": lambda v, s: _encode_dict(v, s),
+    "fsst": lambda v, s: _encode_fsst(v),
+}
+
+_FSST_SAMPLE = 8192
+
+
+def choose_codec(vals: np.ndarray, stats: ChunkStats, try_fsst: bool = True) -> str:
+    """Pick the minimal-estimated-size codec, deterministically.
+
+    Mirrors the reference's policy ladder (override -> preserved -> preferred,
+    crates/copybook-cli/src/main.rs:293): estimates for the closed-form
+    codecs, a sampled try-encode for FSST, stable tie-break.
+    """
+    est = estimate_sizes(stats)
+    if try_fsst and stats.n >= 64:
+        sample = vals[:_FSST_SAMPLE]
+        enc = _encode_fsst(sample)
+        ratio = len(enc) / max(4 * len(sample), 1)
+        est["fsst"] = int(ratio * 4 * stats.n)
+    best = min(est.items(), key=lambda kv: (kv[1], _TIE_RANK.index(kv[0])))
+    return best[0]
+
+
+def encode_array(
+    vals: np.ndarray,
+    codec: str = "auto",
+    stats: ChunkStats | None = None,
+) -> tuple[bytes, str]:
+    """Encode an int array -> (payload bytes, codec name actually used)."""
+    v = np.ascontiguousarray(vals, dtype=np.int64)
+    if codec == "auto":
+        if stats is None:
+            stats = ChunkStats.analyze(v)
+        codec = choose_codec(v, stats)
+    if codec not in _ENCODERS:
+        raise UnknownCodecError(f"unknown codec {codec!r}")
+    out = _ENCODERS[codec](v, stats)
+    if codec != "plain":
+        plain = _encode_plain(v)
+        if len(plain) < len(out):  # guard: never worse than plain
+            return plain, "plain"
+    return out, codec
+
+
+def _need(buf: memoryview, k: int, what: str) -> None:
+    if len(buf) < k:
+        raise TruncatedBlobError(f"payload truncated reading {what}")
+
+
+def decode_array(payload: bytes | memoryview) -> np.ndarray:
+    """Inverse of encode_array; returns int64 array. Raises structured errors
+    on corruption (never returns wrong data silently)."""
+    buf = memoryview(payload)
+    _need(buf, 1, "codec id")
+    cid = buf[0]
+    body = buf[1:]
+    if cid == CODEC_PLAIN:
+        _need(body, 5, "plain header")
+        n, width = _HDR_PLAIN.unpack_from(body)
+        if width not in (4, 8):
+            raise PayloadCorruptError(f"plain width {width}")
+        _need(body, 5 + n * width, "plain data")
+        return np.frombuffer(
+            body, dtype=f"<i{width}", count=n, offset=5
+        ).astype(np.int64)
+    if cid == CODEC_BITPACK:
+        _need(body, 5, "bitpack header")
+        n, width = _HDR_PLAIN.unpack_from(body)
+        if width > 64:
+            raise PayloadCorruptError(f"bitpack width {width}")
+        u = bp.unpack(body[5:], n, width)
+        return u.view(np.int64)
+    if cid == CODEC_FOR:
+        _need(body, 12, "for header")
+        n, ref = _HDR_FOR.unpack_from(body)
+        sub = decode_array(body[12:])
+        if len(sub) != n:
+            raise CountMismatchError(f"for: {len(sub)} != {n}")
+        # modular add (inverse of the uint64 subtraction in _encode_for)
+        return (sub.view(np.uint64) + np.uint64(ref % (1 << 64))).view(np.int64)
+    if cid == CODEC_DELTA:
+        _need(body, 4, "delta header")
+        (n,) = _U32.unpack_from(body)
+        zz = decode_array(body[4:])
+        if len(zz) != n:
+            raise CountMismatchError(f"delta: {len(zz)} != {n}")
+        deltas = vi.zigzag_decode(zz.view(np.uint64))
+        return np.cumsum(deltas.view(np.uint64)).view(np.int64)
+    if cid == CODEC_RLE:
+        _need(body, 8, "rle header")
+        n, n_runs = _HDR_RLE.unpack_from(body)
+        off = 8
+        _need(body, off + 4, "rle len1")
+        (len1,) = _U32.unpack_from(body, off)
+        off += 4
+        _need(body, off + len1, "rle values")
+        run_vals = decode_array(body[off : off + len1])
+        off += len1
+        _need(body, off + 4, "rle len2")
+        (len2,) = _U32.unpack_from(body, off)
+        off += 4
+        _need(body, off + len2, "rle lengths")
+        run_lens = decode_array(body[off : off + len2])
+        if len(run_vals) != n_runs or len(run_lens) != n_runs:
+            raise CountMismatchError("rle: run count mismatch")
+        if n_runs and int(run_lens.sum()) != n:
+            raise CountMismatchError("rle: total length mismatch")
+        if (run_lens < 0).any():
+            raise PayloadCorruptError("rle: negative run length")
+        return np.repeat(run_vals, run_lens)
+    if cid == CODEC_DICT:
+        _need(body, 8, "dict header")
+        n, d = _HDR_RLE.unpack_from(body)
+        off = 8
+        (len1,) = _U32.unpack_from(body, off)
+        off += 4
+        _need(body, off + len1, "dict values")
+        uniq = decode_array(body[off : off + len1])
+        off += len1
+        _need(body, off + 4, "dict len2")
+        (len2,) = _U32.unpack_from(body, off)
+        off += 4
+        _need(body, off + len2, "dict indices")
+        idx = decode_array(body[off : off + len2])
+        if len(uniq) != d:
+            raise CountMismatchError("dict: dictionary size mismatch")
+        if len(idx) != n:
+            raise CountMismatchError("dict: index count mismatch")
+        if n and ((idx < 0).any() or (idx >= d).any()):
+            raise PayloadCorruptError("dict: index out of range")
+        return uniq[idx]
+    if cid == CODEC_FSST:
+        _need(body, 8, "fsst header")
+        (n,) = _U32.unpack_from(body, 0)
+        (nbytes,) = _U32.unpack_from(body, 4)
+        table, used = fsst_mod.SymbolTable.deserialize(body[8:])
+        off = 8 + used
+        _need(body, off + 4, "fsst enc_len")
+        (enc_len,) = _U32.unpack_from(body, off)
+        off += 4
+        _need(body, off + enc_len, "fsst codes")
+        codes = np.frombuffer(body, dtype=np.uint8, count=enc_len, offset=off)
+        stream = fsst_mod.decompress(codes, table, nbytes)
+        u = vi.varint_decode(stream.tobytes(), n)
+        return vi.zigzag_decode(u)
+    raise UnknownCodecError(f"unknown codec id {cid}")

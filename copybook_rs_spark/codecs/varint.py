@@ -1,0 +1,86 @@
+"""Vectorized zigzag + LEB128 varint over numpy arrays (no per-element Python).
+
+Used by the FSST codec to turn int token arrays into a compressible byte
+stream; the analogue of the reference's digit-serialization in zoned decimals
+(crates/copybook-codec/src/numeric.rs:1012 — value <-> byte-stream transforms
+done without per-record branching).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from copybook_rs_spark.errors import PayloadCorruptError
+
+_MAX_VARINT_BYTES = 10  # 64-bit values
+
+
+def zigzag_encode(vals: np.ndarray) -> np.ndarray:
+    """int64 -> uint64 zigzag (small magnitudes -> small codes)."""
+    v = np.ascontiguousarray(vals, dtype=np.int64)
+    return ((v << 1) ^ (v >> 63)).astype(np.uint64)
+
+
+def zigzag_decode(codes: np.ndarray) -> np.ndarray:
+    """uint64 zigzag -> int64."""
+    u = np.ascontiguousarray(codes, dtype=np.uint64)
+    return ((u >> np.uint64(1)).astype(np.int64)) ^ -(u & np.uint64(1)).astype(
+        np.int64
+    )
+
+
+def varint_encode(vals: np.ndarray) -> bytes:
+    """LEB128-encode uint64 values, fully vectorized."""
+    v = np.ascontiguousarray(vals, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    # bytes per value: ceil(bit_length / 7), min 1 — via 9 threshold compares
+    nb = np.ones(n, dtype=np.int64)
+    for k in range(1, _MAX_VARINT_BYTES):
+        nb += (v >= (np.uint64(1) << np.uint64(7 * k))).astype(np.int64)
+    total = int(nb.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    start = np.zeros(n, dtype=np.int64)
+    np.cumsum(nb[:-1], out=start[1:])
+    for b in range(_MAX_VARINT_BYTES):
+        mask = nb > b
+        if not mask.any():
+            break
+        pos = start[mask] + b
+        byte = ((v[mask] >> np.uint64(7 * b)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nb[mask] > b + 1).astype(np.uint8) << 7
+        out[pos] = byte | cont
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes | memoryview, n: int) -> np.ndarray:
+    """Decode exactly n LEB128 uint64 values from buf; raises on corruption."""
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    ends = np.flatnonzero((raw & 0x80) == 0)  # terminal byte of each value
+    if len(ends) < n:
+        raise PayloadCorruptError(
+            f"varint stream has {len(ends)} terminated values, expected {n}"
+        )
+    ends = ends[:n]
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    if (lengths > _MAX_VARINT_BYTES).any():
+        raise PayloadCorruptError("varint value longer than 10 bytes")
+    total = int(ends[-1]) + 1
+    # position-within-value for each byte in [0, total)
+    idx = np.arange(total, dtype=np.int64)
+    value_id = np.zeros(total, dtype=np.int64)
+    np.add.at(value_id, starts[1:], 1)
+    value_id = np.cumsum(value_id)
+    within = idx - starts[value_id]
+    contrib = (raw[:total].astype(np.uint64) & np.uint64(0x7F)) << (
+        np.uint64(7) * within.astype(np.uint64)
+    )
+    out = np.zeros(n, dtype=np.uint64)
+    np.add.at(out, value_id, contrib)
+    return out

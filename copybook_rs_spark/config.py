@@ -1,0 +1,46 @@
+"""Frozen engine configuration, compiled once on the driver and shipped to
+executors inside the mapInArrow closure — the analogue of the reference's
+DecodeOptions/EncodeOptions (crates/copybook-options/src/lib.rs:48-110) and
+its ahead-of-time layout resolution (crates/copybook-core/src/layout.rs:73).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field
+
+
+TOKEN_TABLE_FIELDS = (
+    ("doc_id", "string"),
+    ("tokens", "array<int>"),
+    ("n_tok", "int"),
+    ("source", "string"),
+)
+
+
+def schema_fingerprint(fields=TOKEN_TABLE_FIELDS) -> str:
+    """SHA-256 over the canonical JSON of the logical schema — provenance tag
+    carried in every chunk/manifest row (reference:
+    crates/copybook-core/src/schema.rs:248-260)."""
+    canon = json.dumps([list(f) for f in fields], separators=(",", ":"))
+    return hashlib.sha256(canon.encode()).hexdigest()
+
+
+@dataclass(frozen=True)
+class EncodeConfig:
+    """Tunables for the encode pipeline.
+
+    codec: 'auto' (stats-driven selection) or a forced codec name.
+    chunk_values: target token values per chunk (the unit of codec choice).
+    target_docs_per_part: salting pre-pass aims for at most this many docs in
+        one (source, part_id) group — bounds skew (north rule).
+    max_salt: cap on salt buckets per source.
+    """
+
+    codec: str = "auto"
+    chunk_values: int = 65536
+    target_docs_per_part: int = 50_000
+    max_salt: int = 256
+    shuffle_partitions: int | None = None
+    fingerprint: str = field(default_factory=schema_fingerprint)
