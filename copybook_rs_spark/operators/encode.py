@@ -1,0 +1,293 @@
+"""Encode pipeline: token table -> chunk-blob table via mapInArrow.
+
+The Spark translation of the reference's parallel decode pipeline
+(crates/copybook-codec/src/processor.rs:366-515: reader -> N workers ->
+sequence-ring reorder -> single writer). Here the determinism comes from the
+partition plan instead of reordering: group = (source, part_id) is a pure
+function of the data (plans/partition.py), rows are sorted by doc_id within
+the group, and chunk boundaries are a greedy value-budget cut — so the chunk
+table content is bit-identical across runs and parallelism levels
+(the analogue of processor.rs:1298 test_deterministic_parallel_output).
+
+Kernel I/O is Arrow RecordBatches; token values are consumed as the
+ListArray's contiguous int32 child buffer (the same zero-materialization move
+as the reference's copybook-arrow/src/decode_direct.rs:22). No per-row
+Python anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from copybook_rs_spark import blob
+from copybook_rs_spark.config import EncodeConfig
+from copybook_rs_spark.errors import CodecError
+from copybook_rs_spark.plans.partition import (
+    plan_salts,
+    repartition_for_encode,
+    with_part_id,
+)
+
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("chunk_id", StringType(), False),
+        StructField("source", StringType(), False),
+        StructField("part_id", IntegerType(), False),
+        StructField("chunk_seq", IntegerType(), False),
+        StructField("codec", StringType(), False),
+        StructField("n_rows", IntegerType(), False),
+        StructField("n_values", LongType(), False),
+        StructField("raw_bytes", LongType(), False),
+        StructField("enc_bytes", LongType(), False),
+        StructField("min_token", LongType(), False),
+        StructField("max_token", LongType(), False),
+        StructField("n_distinct", LongType(), False),
+        StructField("n_runs", LongType(), False),
+        StructField("first_doc_id", StringType(), False),
+        StructField("crc32", LongType(), False),
+        StructField("schema_fp", StringType(), False),
+        StructField("blob", BinaryType(), False),
+    ]
+)
+
+_CHUNK_PA_SCHEMA = pa.schema(
+    [
+        ("chunk_id", pa.string()),
+        ("source", pa.string()),
+        ("part_id", pa.int32()),
+        ("chunk_seq", pa.int32()),
+        ("codec", pa.string()),
+        ("n_rows", pa.int32()),
+        ("n_values", pa.int64()),
+        ("raw_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()),
+        ("min_token", pa.int64()),
+        ("max_token", pa.int64()),
+        ("n_distinct", pa.int64()),
+        ("n_runs", pa.int64()),
+        ("first_doc_id", pa.string()),
+        ("crc32", pa.int64()),
+        ("schema_fp", pa.string()),
+        ("blob", pa.binary()),
+    ]
+)
+
+
+def _string_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(byte_lengths int64, raw bytes uint8) of a utf8 array, zero-copy."""
+    if arr.null_count:
+        raise CodecError("doc_id/source must be non-null")
+    if pa.types.is_large_string(arr.type):
+        odt = np.int64
+    else:
+        odt = np.int32
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=odt)[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    lens = np.diff(offsets).astype(np.int64)
+    raw = data[offsets[0] : offsets[-1]]
+    return lens, raw
+
+
+def _list_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(per-row lengths int64, flattened int values) of a list<int32> array."""
+    if arr.null_count:
+        raise CodecError("tokens must be non-null")
+    if pa.types.is_large_list(arr.type):
+        odt = np.int64
+    else:
+        odt = np.int32
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=odt)[arr.offset : arr.offset + len(arr) + 1]
+    child = arr.values  # whole child array; index with absolute offsets
+    child_np = child.to_numpy(zero_copy_only=False)
+    vals = np.ascontiguousarray(
+        child_np[offsets[0] : offsets[-1]], dtype=np.int64
+    )
+    lens = np.diff(offsets).astype(np.int64)
+    return lens, vals
+
+
+class _GroupBuffer:
+    """Pending rows of one (source, part_id) group; flushes fixed-budget
+    chunks of whole documents (the bounded-memory streaming analogue,
+    crates/copybook-codec-memory/src/streaming.rs:103)."""
+
+    __slots__ = (
+        "source", "part_id", "seq",
+        "doc_bytes", "doc_lens", "tok_lens", "tok_vals", "pending_values",
+    )
+
+    def __init__(self, source: str, part_id: int):
+        self.source = source
+        self.part_id = part_id
+        self.seq = 0
+        self.doc_bytes: list[np.ndarray] = []
+        self.doc_lens: list[np.ndarray] = []
+        self.tok_lens: list[np.ndarray] = []
+        self.tok_vals: list[np.ndarray] = []
+        self.pending_values = 0
+
+    def add(self, db: np.ndarray, dl: np.ndarray, tl: np.ndarray, tv: np.ndarray):
+        self.doc_bytes.append(db)
+        self.doc_lens.append(dl)
+        self.tok_lens.append(tl)
+        self.tok_vals.append(tv)
+        self.pending_values += len(tv)
+
+    def _consolidate(self):
+        db = np.concatenate(self.doc_bytes) if self.doc_bytes else np.empty(0, np.uint8)
+        dl = np.concatenate(self.doc_lens) if self.doc_lens else np.empty(0, np.int64)
+        tl = np.concatenate(self.tok_lens) if self.tok_lens else np.empty(0, np.int64)
+        tv = np.concatenate(self.tok_vals) if self.tok_vals else np.empty(0, np.int64)
+        return db, dl, tl, tv
+
+    def flush(self, cfg: EncodeConfig, force: bool) -> list[dict]:
+        """Emit all complete chunks (and, if force, the final partial one)."""
+        if not force and self.pending_values < cfg.chunk_values:
+            return []
+        db, dl, tl, tv = self._consolidate()
+        n_docs = len(dl)
+        cum_vals = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(tl, out=cum_vals[1:])
+        cum_docb = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(dl, out=cum_docb[1:])
+        rows: list[dict] = []
+        start = 0
+        while start < n_docs:
+            # greedy cut: smallest prefix reaching the value budget
+            target = cum_vals[start] + cfg.chunk_values
+            end = int(np.searchsorted(cum_vals, target, side="left"))
+            end = min(max(end, start + 1), n_docs)
+            if cum_vals[end] - cum_vals[start] < cfg.chunk_values and not force:
+                break  # tail stays pending
+            rows.append(self._emit(cfg, db, dl, tl, tv, cum_vals, cum_docb, start, end))
+            start = end
+        # retain tail
+        self.doc_bytes = [db[cum_docb[start] :]]
+        self.doc_lens = [dl[start:]]
+        self.tok_lens = [tl[start:]]
+        self.tok_vals = [tv[cum_vals[start] :]]
+        self.pending_values = int(cum_vals[-1] - cum_vals[start])
+        if force and start >= n_docs:
+            self.doc_bytes, self.doc_lens = [], []
+            self.tok_lens, self.tok_vals = [], []
+            self.pending_values = 0
+        return rows
+
+    def _emit(self, cfg, db, dl, tl, tv, cum_vals, cum_docb, start, end) -> dict:
+        doc_b = db[cum_docb[start] : cum_docb[end]].tobytes()
+        doc_l = dl[start:end]
+        lens = tl[start:end]
+        vals = tv[cum_vals[start] : cum_vals[end]]
+        b, info = blob.encode_chunk(doc_b, doc_l, lens, vals, codec=cfg.codec)
+        s = info["stats"]
+        first_doc = doc_b[: int(doc_l[0])].decode("utf-8") if len(doc_l) else ""
+        row = {
+            "chunk_id": f"{self.source}/{self.part_id:05d}/{self.seq:06d}",
+            "source": self.source,
+            "part_id": self.part_id,
+            "chunk_seq": self.seq,
+            "codec": info["codec"],
+            "n_rows": int(end - start),
+            "n_values": int(len(vals)),
+            "raw_bytes": int(4 * len(vals)),
+            "enc_bytes": int(len(b)),
+            "min_token": int(s.vmin),
+            "max_token": int(s.vmax),
+            "n_distinct": int(s.n_distinct),
+            "n_runs": int(s.n_runs),
+            "first_doc_id": first_doc,
+            "crc32": int(info["crc32"]),
+            "schema_fp": cfg.fingerprint,
+            "blob": b,
+        }
+        self.seq += 1
+        return row
+
+
+def make_encode_kernel(cfg: EncodeConfig):
+    """Arrow kernel: Iterator[RecordBatch] -> Iterator[RecordBatch] of chunk
+    rows. Rows arrive sorted by (source, part_id, doc_id)."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        current: _GroupBuffer | None = None
+        out_rows: list[dict] = []
+
+        def drain():
+            nonlocal out_rows
+            if out_rows:
+                yield pa.RecordBatch.from_pylist(out_rows, schema=_CHUNK_PA_SCHEMA)
+                out_rows = []
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            src_col = batch.column("source")
+            pid = batch.column("part_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            src = np.asarray(src_col.to_pylist(), dtype=object)
+            dl_all, db_all = _string_parts(batch.column("doc_id"))
+            tl_all, tv_all = _list_parts(batch.column("tokens"))
+            cum_v = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(tl_all, out=cum_v[1:])
+            cum_d = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(dl_all, out=cum_d[1:])
+            # group boundaries within the (sorted) batch
+            change = np.flatnonzero(
+                (src[1:] != src[:-1]) | (pid[1:] != pid[:-1])
+            )
+            seg_starts = np.concatenate(([0], change + 1))
+            seg_ends = np.concatenate((change + 1, [n]))
+            for i0, i1 in zip(seg_starts, seg_ends):
+                key = (str(src[i0]), int(pid[i0]))
+                if current is None or (current.source, current.part_id) != key:
+                    if current is not None:
+                        out_rows.extend(current.flush(cfg, force=True))
+                    current = _GroupBuffer(*key)
+                current.add(
+                    db_all[cum_d[i0] : cum_d[i1]],
+                    dl_all[i0:i1],
+                    tl_all[i0:i1],
+                    tv_all[cum_v[i0] : cum_v[i1]],
+                )
+                out_rows.extend(current.flush(cfg, force=False))
+            yield from drain()
+        if current is not None:
+            out_rows.extend(current.flush(cfg, force=True))
+        yield from drain()
+
+    return kernel
+
+
+def encode_tokens(
+    df: DataFrame,
+    cfg: EncodeConfig | None = None,
+    salts: dict[str, int] | None = None,
+) -> DataFrame:
+    """Token table (doc_id, tokens, n_tok, source) -> chunk-blob table.
+
+    Lazy: returns the chunk DataFrame; callers write it to parquet/Iceberg
+    (atomic job commit is Spark-native — the temp-file+rename analogue,
+    reference crates/copybook-cli/src/commands/decode.rs:145-156).
+    """
+    cfg = cfg or EncodeConfig()
+    if salts is None:
+        salts = plan_salts(df, cfg.target_docs_per_part, cfg.max_salt)
+    num_parts = cfg.shuffle_partitions or max(
+        sum(salts.values()), df.sparkSession.sparkContext.defaultParallelism
+    )
+    prepared = repartition_for_encode(with_part_id(df, salts), num_parts)
+    return prepared.mapInArrow(make_encode_kernel(cfg), CHUNK_SCHEMA)

@@ -1,0 +1,59 @@
+"""Skew-aware deterministic partition plan.
+
+The reference processes one stream with a worker pool + sequence-ring reorder
+(crates/copybook-codec-memory/src/worker_pool.rs:110-236) so parallel output
+is byte-identical to single-threaded. Spark's analogue of that guarantee:
+make *group membership* a pure function of the data, never of the scheduler —
+
+    part_id = pmod(xxhash64(doc_id, seed=42), S(source))
+
+where S(source) is a salting factor chosen by a driver-side pre-pass over
+`groupBy(source).count()` (north rule: explicit skew handling for the hot
+`source`). All rows of a (source, part_id) group land in one task after
+`repartition`, are sorted by doc_id, and chunked by a fixed value budget —
+so chunk content is identical at local[2], local[32], or 1000 executors.
+
+At 100 TB the pre-pass is a cheap single shuffle over a low-cardinality key;
+S caps any one group at ~target_docs_per_part docs, so no task ever sees an
+unbounded hot partition. AQE remains enabled as a backstop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SALT_SEED = 42
+
+
+def plan_salts(df: DataFrame, target_docs_per_part: int, max_salt: int) -> dict[str, int]:
+    """Pre-pass: docs per source -> salt factor per source (driver-side;
+    result is small: one row per distinct source)."""
+    rows = df.groupBy("source").count().collect()
+    plan: dict[str, int] = {}
+    for r in rows:
+        s = max(1, -(-int(r["count"]) // target_docs_per_part))  # ceil
+        plan[r["source"]] = min(s, max_salt)
+    return plan
+
+
+def with_part_id(df: DataFrame, salts: dict[str, int]) -> DataFrame:
+    """Add deterministic part_id = pmod(xxhash64(doc_id), S(source))."""
+    salt_expr = F.lit(1)
+    if salts:
+        mapping = F.create_map(
+            *[x for k, v in sorted(salts.items()) for x in (F.lit(k), F.lit(v))]
+        )
+        salt_expr = F.coalesce(mapping[F.col("source")], F.lit(1))
+    return df.withColumn(
+        "part_id",
+        F.pmod(F.xxhash64(F.col("doc_id"), F.lit(SALT_SEED)), salt_expr).cast("int"),
+    )
+
+
+def repartition_for_encode(df: DataFrame, num_partitions: int) -> DataFrame:
+    """Co-locate each (source, part_id) group in one task, deterministic
+    order within: the Spark translation of the reference's reader->workers->
+    reorder triangle (SURVEY.md §3.1)."""
+    return df.repartition(num_partitions, "source", "part_id").sortWithinPartitions(
+        "source", "part_id", "doc_id"
+    )

@@ -1,0 +1,67 @@
+"""Per-partition lineage/metrics manifest + checkpoint-resume.
+
+The analogue of the reference's RunSummary (crates/copybook-codec/src/
+lib_api.rs:232-370: records processed, bytes, throughput, schema fingerprint)
+lifted to a table: one row per (source, part_id) group, derived from the
+chunk table by a built-in hash aggregation (partial+final, no custom code).
+
+Resume (absent in the reference, whose unit of atomicity is the whole file —
+crates/copybook-cli/src/commands/decode.rs:145-156) is manifest-driven:
+an already-committed (source, part_id) group is skipped by a broadcast
+anti-join, and writes are idempotent because group content is a pure function
+of the data (plans/partition.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def build_manifest(chunk_df: DataFrame) -> DataFrame:
+    """Chunk table -> manifest: lineage + metrics per (source, part_id)."""
+    return chunk_df.groupBy("source", "part_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_rows").alias("n_docs"),
+        F.sum("n_values").alias("n_values"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("enc_bytes").alias("enc_bytes"),
+        F.min("min_token").alias("min_token"),
+        F.max("max_token").alias("max_token"),
+        F.first("schema_fp").alias("schema_fp"),
+        # codec histogram as a deterministic sorted string (A3 analogue)
+        F.array_join(F.array_sort(F.collect_set("codec")), ",").alias("codecs"),
+    )
+
+
+def write_encoded(
+    chunk_df: DataFrame, out_dir: str, mode: str = "overwrite"
+) -> None:
+    """Write chunk table (partitioned by source — Iceberg-style partition
+    pruning on the hot key) and its manifest. Spark's job-commit protocol
+    provides the atomic temp+rename."""
+    chunks_path = os.path.join(out_dir, "chunks")
+    manifest_path = os.path.join(out_dir, "manifest")
+    chunk_df.write.mode(mode).partitionBy("source").parquet(chunks_path)
+    spark = chunk_df.sparkSession
+    build_manifest(spark.read.parquet(chunks_path)).write.mode(mode).parquet(
+        manifest_path
+    )
+
+
+def read_chunks(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "chunks"))
+
+
+def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "manifest"))
+
+
+def pending_groups(df_with_part: DataFrame, manifest: DataFrame) -> DataFrame:
+    """Filter the (salted) token table down to groups NOT yet committed —
+    broadcast anti-join on the low-cardinality group key."""
+    done = manifest.select("source", "part_id").distinct()
+    return df_with_part.join(
+        F.broadcast(done), ["source", "part_id"], "left_anti"
+    )

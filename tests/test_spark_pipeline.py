@@ -1,0 +1,140 @@
+"""Spark integration: encode -> decode round-trip bit-identity, chunking
+determinism across parallelism levels, skew salting, manifest + resume.
+
+Reference analogues: roundtrip.rs:89 (bit fidelity), determinism.rs:29-87 +
+processor.rs:1298 (parallel output == single-threaded), RunSummary
+(lib_api.rs:232).
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from copybook_rs_spark.config import EncodeConfig
+from copybook_rs_spark.operators import (
+    decode_tokens,
+    encode_tokens,
+    roundtrip_mismatches,
+)
+from copybook_rs_spark.plans.partition import plan_salts, with_part_id
+from copybook_rs_spark.sources import manifest as mani
+from copybook_rs_spark.sources.tokens import synthetic_tokens, token_table
+
+SF_DIR = "/root/testdata/sf0.001"
+CFG = EncodeConfig(chunk_values=4096, target_docs_per_part=400, shuffle_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def tok_df(spark):
+    return token_table(spark, SF_DIR).cache()
+
+
+def test_token_table_shape(spark, tok_df):
+    row = tok_df.selectExpr(
+        "count(*) as n",
+        "sum(case when n_tok = size(tokens) then 1 else 0 end) as ok",
+    ).collect()[0]
+    assert row["n"] == 6000
+    assert row["ok"] == row["n"]  # ODO invariant: n_tok == size(tokens)
+
+
+def test_roundtrip_bit_identity(spark, tok_df):
+    mism = roundtrip_mismatches(tok_df, CFG)
+    assert mism.count() == 0
+
+
+@pytest.mark.parametrize("profile", ["lowcard", "runs", "narrow_range", "texty", "mixed", "edge"])
+def test_roundtrip_profiles(spark, profile):
+    df = synthetic_tokens(spark, profile, 400)
+    assert roundtrip_mismatches(df, CFG).count() == 0
+
+
+def test_roundtrip_skewed_source(spark):
+    df = synthetic_tokens(spark, "skewed_source", 1500)
+    cfg = EncodeConfig(chunk_values=4096, target_docs_per_part=200, shuffle_partitions=8)
+    chunk_df = encode_tokens(df, cfg)
+    # salting actually splits the hot source into multiple part_ids
+    parts = (
+        chunk_df.groupBy("source")
+        .agg(F.countDistinct("part_id").alias("p"))
+        .collect()
+    )
+    by_src = {r["source"]: r["p"] for r in parts}
+    assert by_src["web"] > 1  # 90% of docs -> must be salted
+    assert roundtrip_mismatches(df, cfg).count() == 0
+
+
+def _chunk_content_hash(chunk_df) -> str:
+    rows = chunk_df.select("chunk_id", "crc32", "n_values", "codec").collect()
+    canon = sorted((r["chunk_id"], r["crc32"], r["n_values"], r["codec"]) for r in rows)
+    return hashlib.sha256(repr(canon).encode()).hexdigest()
+
+
+def test_chunking_deterministic_across_partitioning(spark, tok_df):
+    # same data, different shuffle widths -> identical chunk table content
+    cfg_a = EncodeConfig(chunk_values=4096, target_docs_per_part=400, shuffle_partitions=3)
+    cfg_b = EncodeConfig(chunk_values=4096, target_docs_per_part=400, shuffle_partitions=16)
+    h_a = _chunk_content_hash(encode_tokens(tok_df, cfg_a))
+    h_b = _chunk_content_hash(encode_tokens(tok_df, cfg_b))
+    assert h_a == h_b
+
+
+def test_encode_repeat_identical(spark, tok_df):
+    h1 = _chunk_content_hash(encode_tokens(tok_df, CFG))
+    h2 = _chunk_content_hash(encode_tokens(tok_df, CFG))
+    assert h1 == h2
+
+
+def test_chunk_budget_respected(spark, tok_df):
+    chunk_df = encode_tokens(tok_df, CFG)
+    stats = chunk_df.agg(
+        F.max("n_values").alias("mx"), F.sum("n_values").alias("total")
+    ).collect()[0]
+    # greedy cut can overshoot by at most one doc (max doc len 64 here)
+    assert stats["mx"] <= CFG.chunk_values + 64
+    total_tokens = tok_df.agg(F.sum("n_tok")).collect()[0][0]
+    assert stats["total"] == total_tokens
+
+
+def test_compression_beats_plain(spark, tok_df):
+    chunk_df = encode_tokens(tok_df, CFG)
+    r = chunk_df.agg(F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc")).collect()[0]
+    assert r["enc"] < r["raw"]  # tokens < 50257 -> ~2 bytes/token worst case
+
+
+def test_manifest_and_resume(spark, tok_df, tmp_path):
+    out = str(tmp_path / "enc")
+    cfg = CFG
+    salts = plan_salts(tok_df, cfg.target_docs_per_part, cfg.max_salt)
+    chunk_df = encode_tokens(tok_df, cfg, salts=salts)
+    mani.write_encoded(chunk_df, out)
+    m = mani.read_manifest(spark, out)
+    assert m.count() > 0
+    # totals line up with the input (A1 RunSummary analogue)
+    tot = m.agg(F.sum("n_docs").alias("d"), F.sum("n_values").alias("v")).collect()[0]
+    assert tot["d"] == tok_df.count()
+    assert tot["v"] == tok_df.agg(F.sum("n_tok")).collect()[0][0]
+    # resume: all groups committed -> nothing pending
+    with_pid = with_part_id(tok_df, salts)
+    pend = mani.pending_groups(with_pid, m)
+    assert pend.count() == 0
+    # drop one group from the manifest -> exactly that group is pending
+    first = m.select("source", "part_id").limit(1).collect()[0]
+    m_partial = m.filter(
+        ~((F.col("source") == first["source"]) & (F.col("part_id") == first["part_id"]))
+    )
+    pend2 = mani.pending_groups(with_pid, m_partial)
+    expect = with_pid.filter(
+        (F.col("source") == first["source"]) & (F.col("part_id") == first["part_id"])
+    ).count()
+    assert pend2.count() == expect > 0
+    # decode from the written chunk table is still bit-identical
+    dec = decode_tokens(mani.read_chunks(spark, out))
+    assert dec.count() == tok_df.count()
+
+
+def test_decode_schema_matches_input(spark, tok_df):
+    dec = decode_tokens(encode_tokens(tok_df, CFG))
+    assert [f.name for f in dec.schema.fields] == ["doc_id", "tokens", "n_tok", "source"]
+    assert dec.schema["tokens"].dataType.simpleString() == "array<int>"
