@@ -1,38 +1,243 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship: encode -> decode -> verify the sf0.001 token
+table (SURVEY.md §7.1). `queries()` — one DataFrame callable per implemented
+operator (SURVEY.md §2), each over /root/testdata parquet so the DuckDB
+`oracle_sql()` twin sees the same data. Aliases match exactly on both sides
+(the driver hash-compares values after sorting columns by name).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from copybook_rs_spark.config import EncodeConfig
+from copybook_rs_spark.functions import (
+    RUNS_PER_DOC_DUCKDB,
+    RUNS_PER_DOC_SPARK,
+    project_columns,
+)
+from copybook_rs_spark.operators import encode_tokens
+from copybook_rs_spark.operators.verify import verified_counts
+from copybook_rs_spark.sources.manifest import build_manifest
+from copybook_rs_spark.sources.tokens import TOKEN_TABLE_DUCKDB_SQL, token_table
+
+# sf0.01-sized config: small chunk budget so the table splits into many
+# chunks and codec selection is exercised per chunk.
+_CFG = EncodeConfig(chunk_values=16384, target_docs_per_part=20_000)
+
+_TOK = f"({TOKEN_TABLE_DUCKDB_SQL.strip()})"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full encode->decode->verify round-trip on sf0.001; returns
+    per-source verified counts (rows > 0, 100%% coverage by construction)."""
+    df = token_table(spark, "/root/testdata/sf0.001")
+    return verified_counts(df, _CFG)
+
+
+# ---------------------------------------------------------------- queries
+
+def _q_stats_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A3 codec-selection stats (FOR params): value range per source.
+    tok = token_table(spark, sf_dir)
+    ex = tok.select("source", F.explode("tokens").alias("token"))
+    return ex.groupBy("source").agg(
+        F.min("token").alias("min_token"),
+        F.max("token").alias("max_token"),
+        F.count("*").alias("n_values"),
+    )
+
+
+def _q_stats_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A3: exact distinct-cardinality per source (dict-codec sizing).
+    tok = token_table(spark, sf_dir)
+    ex = tok.select("source", F.explode("tokens").alias("token"))
+    return ex.groupBy("source").agg(
+        F.countDistinct("token").alias("n_distinct"),
+        F.count("*").alias("n_values"),
+    )
+
+
+def _q_run_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RLE stats: total runs per source (window-free, dialect-identical).
+    tok = token_table(spark, sf_dir)
+    runs = tok.withColumn("runs", F.expr(RUNS_PER_DOC_SPARK))
+    return runs.groupBy("source").agg(
+        F.sum("runs").alias("total_runs"),
+        F.sum("n_tok").alias("total_values"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def _q_proj_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P1: selecting `tokens` auto-includes its ODO counter n_tok.
+    tok = token_table(spark, sf_dir)
+    proj = project_columns(tok, ["doc_id", "tokens"])  # -> doc_id, tokens, n_tok
+    return proj.select(
+        "doc_id", F.size("tokens").alias("toklen"), F.col("n_tok")
+    )
+
+
+def _q_verify_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-trip invariant: every doc survives encode->decode bit-identical,
+    # so per-source verified counts == plain counts over the input.
+    tok = token_table(spark, sf_dir)
+    return verified_counts(tok, _CFG)
+
+
+def _q_manifest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A1 RunSummary analogue: manifest totals must equal input totals.
+    tok = token_table(spark, sf_dir)
+    manifest = build_manifest(encode_tokens(tok, _CFG))
+    return manifest.groupBy("source").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_values").alias("n_values"),
+    )
+
+
+def _q_topk_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = token_table(spark, sf_dir)
+    return (
+        tok.groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("source"))
+        .limit(2)
+    )
+
+
+def _q_odo_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ODO validation (SURVEY §2.3): size(tokens) == n_tok for every row.
+    tok = token_table(spark, sf_dir)
+    return tok.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.size("tokens") == F.col("n_tok")).cast("long")).alias("n_valid"),
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # training-pipeline op: exact dedup by content hash over documents.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text"))).alias("n_unique_texts"),
+    )
+
+
+def _q_lang_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def _q_codec_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check (codec choice is engine-internal, not SQL-expressible)
+    tok = token_table(spark, sf_dir)
+    chunks = encode_tokens(tok, _CFG)
+    return chunks.groupBy("source", "codec").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("enc_bytes").alias("enc_bytes"),
+    )
+
+
+def _q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: bytes/token per source (north-rule headline metric).
+    tok = token_table(spark, sf_dir)
+    chunks = encode_tokens(tok, _CFG)
+    return chunks.groupBy("source").agg(
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("enc_bytes").alias("enc_bytes"),
+        (F.sum("enc_bytes") / F.sum("n_values")).alias("bytes_per_token"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "stats_minmax": _q_stats_minmax,
+        "stats_cardinality": _q_stats_cardinality,
+        "run_count": _q_run_count,
+        "proj_closure": _q_proj_closure,
+        "verify_roundtrip": _q_verify_roundtrip,
+        "manifest_agg": _q_manifest_agg,
+        "topk_sources": _q_topk_sources,
+        "odo_invariant": _q_odo_invariant,
+        "dedup_exact": _q_dedup_exact,
+        "lang_histogram": _q_lang_histogram,
+        "codec_histogram": _q_codec_histogram,
+        "compression_ratio": _q_compression_ratio,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "stats_minmax": f"""
+            SELECT source,
+                   min(token) AS min_token,
+                   max(token) AS max_token,
+                   count(*) AS n_values
+            FROM (SELECT source, unnest(tokens) AS token FROM {_TOK})
+            GROUP BY source
+        """,
+        "stats_cardinality": f"""
+            SELECT source,
+                   count(DISTINCT token) AS n_distinct,
+                   count(*) AS n_values
+            FROM (SELECT source, unnest(tokens) AS token FROM {_TOK})
+            GROUP BY source
+        """,
+        "run_count": f"""
+            SELECT source,
+                   CAST(sum({RUNS_PER_DOC_DUCKDB}) AS BIGINT) AS total_runs,
+                   CAST(sum(n_tok) AS BIGINT) AS total_values,
+                   count(*) AS n_docs
+            FROM {_TOK}
+            GROUP BY source
+        """,
+        "proj_closure": f"""
+            SELECT doc_id, CAST(length(tokens) AS INTEGER) AS toklen, n_tok FROM {_TOK}
+        """,
+        "verify_roundtrip": f"""
+            SELECT source,
+                   count(*) AS docs_verified,
+                   CAST(sum(n_tok) AS BIGINT) AS tokens_verified
+            FROM {_TOK}
+            GROUP BY source
+        """,
+        "manifest_agg": f"""
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_values
+            FROM {_TOK}
+            GROUP BY source
+        """,
+        "topk_sources": f"""
+            SELECT source, count(*) AS n_docs FROM {_TOK}
+            GROUP BY source ORDER BY n_docs DESC, source ASC LIMIT 2
+        """,
+        "odo_invariant": f"""
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN length(tokens) = n_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+            FROM {_TOK}
+            GROUP BY source
+        """,
+        "dedup_exact": """
+            SELECT source,
+                   count(*) AS n_docs,
+                   count(DISTINCT md5(text)) AS n_unique_texts
+            FROM documents
+            GROUP BY source
+        """,
+        "lang_histogram": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents
+            GROUP BY lang
+        """,
+        # codec_histogram / compression_ratio: engine-internal -> rows-only
+    }

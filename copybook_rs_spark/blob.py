@@ -18,7 +18,10 @@ Layout (little-endian):
   doc_id section:
     dl_len  : u32 byte length of the doc-id-lengths payload
     payload (doc_id byte lengths, int payload grammar)
-    raw concatenated UTF-8 doc_id bytes
+    enc     : u8  0 = raw, 1 = FSST (whichever is smaller; ids share heavy
+                  structure, FSST typically halves them)
+    raw concatenated UTF-8 doc_id bytes            (enc == 0)
+    | codes_len:u32 fsst-table fsst-codes          (enc == 1)
   lengths section: int payload (n_tok per document)
   values section : int payload (all token values, document-major)
 
@@ -35,6 +38,7 @@ import zlib
 import numpy as np
 
 from copybook_rs_spark.codecs import core
+from copybook_rs_spark.codecs import fsst as fsst_mod
 from copybook_rs_spark.errors import (
     BadMagicError,
     BadVersionError,
@@ -49,6 +53,38 @@ VERSION = 1
 _HEADER = struct.Struct("<4sBBIQIIII")
 HEADER_LEN = _HEADER.size
 _U32 = struct.Struct("<I")
+
+
+def _encode_doc_bytes(doc_bytes: bytes) -> bytes:
+    """FSST-or-raw doc-id byte stream, smaller wins (deterministic)."""
+    if len(doc_bytes) >= 64:
+        data = np.frombuffer(doc_bytes, dtype=np.uint8)
+        table = fsst_mod.train(data)
+        codes = fsst_mod.compress(data, table)
+        enc = _U32.pack(len(codes)) + table.serialize() + codes
+        if 1 + len(enc) < 1 + len(doc_bytes):
+            return b"\x01" + enc
+    return b"\x00" + doc_bytes
+
+
+def _decode_doc_bytes(buf: memoryview, out_len: int) -> bytes:
+    if len(buf) < 1:
+        raise HeaderInvalidError("doc-bytes encoding flag missing")
+    enc = buf[0]
+    body = buf[1:]
+    if enc == 0:
+        return bytes(body)
+    if enc != 1:
+        raise HeaderInvalidError(f"unknown doc-bytes encoding {enc}")
+    if len(body) < 4:
+        raise TruncatedBlobError("fsst doc-bytes header truncated")
+    (codes_len,) = _U32.unpack_from(body)
+    table, used = fsst_mod.SymbolTable.deserialize(body[4:])
+    off = 4 + used
+    if len(body) < off + codes_len:
+        raise TruncatedBlobError("fsst doc-bytes codes truncated")
+    codes = np.frombuffer(body, dtype=np.uint8, count=codes_len, offset=off)
+    return fsst_mod.decompress(codes, table, out_len).tobytes()
 
 
 def encode_chunk(
@@ -72,7 +108,8 @@ def encode_chunk(
     val_payload, vcodec = core.encode_array(values, codec=codec, stats=stats)
     len_payload, _ = core.encode_array(lengths, codec="auto")
     dl_payload, _ = core.encode_array(doc_lens, codec="auto")
-    doc_sec = _U32.pack(len(dl_payload)) + dl_payload + doc_bytes
+    doc_enc = _encode_doc_bytes(doc_bytes)
+    doc_sec = _U32.pack(len(dl_payload)) + dl_payload + doc_enc
     body = doc_sec + len_payload + val_payload
     crc = zlib.crc32(body) & 0xFFFFFFFF
     header = _HEADER.pack(
@@ -121,8 +158,9 @@ def decode_chunk(blob: bytes | memoryview) -> tuple[bytes, np.ndarray, np.ndarra
     doc_lens = core.decode_array(doc_sec[4 : 4 + dl_len])
     if len(doc_lens) != n_rows:
         raise CountMismatchError("doc_lens count != n_rows")
-    doc_bytes = bytes(doc_sec[4 + dl_len :])
-    if n_rows and int(doc_lens.sum()) != len(doc_bytes):
+    expected_doc_len = int(doc_lens.sum()) if n_rows else 0
+    doc_bytes = _decode_doc_bytes(doc_sec[4 + dl_len :], expected_doc_len)
+    if len(doc_bytes) != expected_doc_len:
         raise CountMismatchError("doc_id bytes length mismatch")
     lengths = core.decode_array(body[sd : sd + sl])
     if len(lengths) != n_rows:

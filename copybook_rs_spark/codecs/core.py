@@ -1,5 +1,5 @@
 """Self-describing integer-array payloads: plain / bitpack / FOR / delta /
-RLE / dict / FSST, with statistics-driven auto-selection.
+RLE / dict / FSST, with cascades and honest try-encode auto-selection.
 
 Payload grammar (all little-endian, `codec_id:u8` first — the analogue of the
 reference's FieldKind dispatch in decode_record, crates/copybook-codec/src/
@@ -9,8 +9,8 @@ crates/copybook-codec/src/numeric.rs:308-396):
   payload  := codec_id:u8 body
   plain    := n:u32 width:u8(4|8) raw[n*width]
   bitpack  := n:u32 width:u8 packed[ceil(n*width/8)]        (values >= 0)
-  for      := n:u32 ref:i64 sub:payload(values - ref)
-  delta    := n:u32 sub:payload(zigzag(diff with first-from-0))
+  for      := n:u32 ref:i64 sub:payload(values - ref)       (modular uint64)
+  delta    := n:u32 sub:payload(zigzag(modular diffs, first-from-0))
   rle      := n:u32 n_runs:u32 len1:u32 sub1:payload(run values)
                                 len2:u32 sub2:payload(run lengths)
   dict     := n:u32 d:u32 len1:u32 sub1:payload(sorted unique values)
@@ -18,9 +18,14 @@ crates/copybook-codec/src/numeric.rs:308-396):
   fsst     := n:u32 nbytes:u32 table len:u32 codes[len]
               (values -> zigzag -> varint byte stream -> fsst codes)
 
-Estimated sizes mirror the real layouts, so auto-selection ("auto") is a
-near-exact argmin; a final guard re-encodes as plain if the winner ever comes
-out larger (cannot regress past plain).
+Cascades come from sub-payloads choosing their own codec (depth-limited so
+encoding terminates): delta->RLE crushes arithmetic sequences, dict values
+(sorted) take delta->bitpack, RLE run lengths take FOR->bitpack, etc.
+
+Auto-selection *encodes* every depth-appropriate candidate and keeps the
+smallest (the reference's try-encode-and-measure stance); FSST is gated by a
+sampled estimate because training is the one expensive candidate. Selection
+is deterministic: fixed candidate order, strict-improvement replacement.
 """
 
 from __future__ import annotations
@@ -60,22 +65,28 @@ CODEC_NAMES = {
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
-# deterministic tie-break order (prefer simpler/faster codec on equal size)
-_TIE_RANK = ["plain", "bitpack", "for", "delta", "rle", "dict", "fsst"]
+# candidate order = deterministic tie-break (earlier wins on equal size)
+_DEPTH_CANDIDATES = {
+    0: ("bitpack", "for", "delta", "rle", "dict", "plain"),
+    1: ("bitpack", "for", "delta", "rle", "plain"),
+    2: ("bitpack", "for", "plain"),
+}
+_MAX_DEPTH = 2
 
 _U32 = struct.Struct("<I")
 _HDR_PLAIN = struct.Struct("<IB")
 _HDR_FOR = struct.Struct("<Iq")
 _HDR_RLE = struct.Struct("<II")
 
+_FSST_SAMPLE = 8192
+_FSST_MIN_N = 64
+
 
 @dataclass
 class ChunkStats:
-    """One-pass statistics over an int64 array; drives codec choice.
-
-    The analogue of the reference's RunSummary + ZonedEncodingInfo stats
-    (crates/copybook-codec/src/lib_api.rs:232, numeric.rs:308).
-    """
+    """One-pass statistics over an int64 array; drives codec choice and the
+    chunk-table metrics columns (the RunSummary + ZonedEncodingInfo analogue,
+    crates/copybook-codec/src/lib_api.rs:232, numeric.rs:308)."""
 
     n: int
     vmin: int
@@ -89,7 +100,10 @@ class ChunkStats:
     _run_break_idx: np.ndarray | None = field(default=None, repr=False)
 
     @classmethod
-    def analyze(cls, vals: np.ndarray) -> "ChunkStats":
+    def analyze(cls, vals: np.ndarray, deep: bool = True) -> "ChunkStats":
+        """deep=False skips np.unique (the costly pass) — used for nested
+        payloads where dict isn't a candidate; n_distinct is then an upper
+        bound (n), not exact."""
         n = len(vals)
         if n == 0:
             return cls(0, 0, 0, 0, 0, True, 0, 0)
@@ -104,7 +118,7 @@ class ChunkStats:
         run_bounds = np.concatenate(([-1], breaks, [n - 1]))
         max_run = int(np.diff(run_bounds).max())
         is_sorted = bool((v[1:] >= v[:-1]).all()) if n > 1 else True
-        uniq = np.unique(v)
+        uniq = np.unique(v) if deep else None
         zz_first = vi.zigzag_encode(v[:1])
         zz_rest = vi.zigzag_encode(diffs_u.view(np.int64))
         max_zz = int(max(zz_first.max(), zz_rest.max()) if n > 1 else zz_first.max())
@@ -112,7 +126,7 @@ class ChunkStats:
             n=n,
             vmin=vmin,
             vmax=vmax,
-            n_distinct=len(uniq),
+            n_distinct=len(uniq) if uniq is not None else n,
             n_runs=n_runs,
             is_sorted=is_sorted,
             max_run_len=max_run,
@@ -122,53 +136,7 @@ class ChunkStats:
         )
 
 
-def _est_sub(n: int, max_val: int) -> int:
-    """Size estimate for the best non-recursive sub-payload of n values in
-    [0, max_val]: min(plain, bitpack)."""
-    if n == 0:
-        return 6
-    plain = 6 + 4 * n if max_val < 2**31 else 6 + 8 * n
-    pack = 6 + bp.packed_size(n, bp.bit_width(max_val))
-    return min(plain, pack)
-
-
-def estimate_sizes(s: ChunkStats) -> dict[str, int]:
-    """Estimated encoded bytes per codec (payload incl. codec_id)."""
-    n = s.n
-    est: dict[str, int] = {}
-    est["plain"] = 1 + 6 + (4 * n if -(2**31) <= s.vmin and s.vmax < 2**31 else 8 * n)
-    if s.vmin >= 0:
-        est["bitpack"] = 1 + 6 + bp.packed_size(n, bp.bit_width(s.vmax))
-    rng = s.vmax - s.vmin
-    est["for"] = 1 + 13 + _est_sub(n, rng) if n else 1 + 13 + 6
-    est["delta"] = 1 + 5 + _est_sub(n, s.max_zz_delta)
-    r = s.n_runs
-    est["rle"] = (
-        1 + 9 + 8 + (1 + 13 + _est_sub(r, rng)) + _est_sub(r, s.max_run_len)
-    )
-    d = s.n_distinct
-    if d > 0:
-        est["dict"] = (
-            1 + 9 + 8
-            + (1 + 13 + _est_sub(d, rng))
-            + (6 + bp.packed_size(n, bp.bit_width(max(d - 1, 0))))
-        )
-    return est
-
-
-def _encode_sub(vals_u: np.ndarray, max_val: int) -> bytes:
-    """Encode a logically-unsigned sub-array (uint64, true values in
-    [0, 2^64)) with the smaller of plain/bitpack. Stored plain as the int64
-    bit view; decode sides re-view as uint64 where unsigned semantics apply."""
-    u = np.ascontiguousarray(vals_u, dtype=np.uint64)
-    n = len(u)
-    if n:
-        w = bp.bit_width(max_val)
-        plain_w = 4 if max_val < 2**31 else 8
-        if bp.packed_size(n, w) <= plain_w * n:
-            return bytes([CODEC_BITPACK]) + _HDR_PLAIN.pack(n, w) + bp.pack(u, w)
-    return _encode_plain(u.view(np.int64))
-
+# ----------------------------------------------------------------- encoders
 
 def _encode_plain(vals: np.ndarray) -> bytes:
     v = np.ascontiguousarray(vals, dtype=np.int64)
@@ -194,17 +162,31 @@ def _encode_bitpack(vals: np.ndarray, width: int | None = None) -> bytes:
     )
 
 
-def _encode_for(vals: np.ndarray) -> bytes:
+def _encode_sub_u64(vals_u: np.ndarray, max_val: int) -> bytes:
+    """Terminal sub-payload for logically-unsigned uint64 values:
+    the smaller of bitpack / plain (stored as the int64 bit view)."""
+    u = np.ascontiguousarray(vals_u, dtype=np.uint64)
+    n = len(u)
+    if n:
+        w = bp.bit_width(max_val)
+        plain_w = 4 if max_val < 2**31 else 8
+        if bp.packed_size(n, w) <= plain_w * n:
+            return bytes([CODEC_BITPACK]) + _HDR_PLAIN.pack(n, w) + bp.pack(u, w)
+    return _encode_plain(u.view(np.int64))
+
+
+def _encode_for(vals: np.ndarray, depth: int) -> bytes:
     v = np.ascontiguousarray(vals, dtype=np.int64)
     n = len(v)
     ref = int(v.min()) if n else 0
-    # modular subtraction in uint64 space: v - vmin always fits [0, 2^64)
-    shifted_u = v.view(np.uint64) - np.uint64(ref % (1 << 64)) if n else v.view(np.uint64)
+    shifted_u = (
+        v.view(np.uint64) - np.uint64(ref % (1 << 64)) if n else v.view(np.uint64)
+    )
     mx = (int(v.max()) - ref) if n else 0
-    return bytes([CODEC_FOR]) + _HDR_FOR.pack(n, ref) + _encode_sub(shifted_u, mx)
+    return bytes([CODEC_FOR]) + _HDR_FOR.pack(n, ref) + _encode_sub_u64(shifted_u, mx)
 
 
-def _encode_delta(vals: np.ndarray) -> bytes:
+def _encode_delta(vals: np.ndarray, depth: int) -> bytes:
     v = np.ascontiguousarray(vals, dtype=np.int64)
     n = len(v)
     vu = v.view(np.uint64)
@@ -213,8 +195,8 @@ def _encode_delta(vals: np.ndarray) -> bytes:
         deltas_u[0] = vu[0]
         np.subtract(vu[1:], vu[:-1], out=deltas_u[1:])  # modular
     zz = vi.zigzag_encode(deltas_u.view(np.int64))
-    mx = int(zz.max()) if n else 0
-    return bytes([CODEC_DELTA]) + _U32.pack(n) + _encode_sub(zz, mx)
+    sub, _ = encode_array(zz.view(np.int64), codec="auto", depth=depth + 1)
+    return bytes([CODEC_DELTA]) + _U32.pack(n) + sub
 
 
 def _run_split(vals: np.ndarray, breaks: np.ndarray | None = None):
@@ -223,17 +205,18 @@ def _run_split(vals: np.ndarray, breaks: np.ndarray | None = None):
     if n == 0:
         return v, np.empty(0, dtype=np.int64)
     if breaks is None:
-        breaks = np.flatnonzero(np.diff(v) != 0)
+        vu = v.view(np.uint64)
+        breaks = np.flatnonzero((vu[1:] - vu[:-1]) != 0)
     starts = np.concatenate(([0], breaks + 1))
     ends = np.concatenate((breaks + 1, [n]))
     return v[starts], ends - starts
 
 
-def _encode_rle(vals: np.ndarray, stats: ChunkStats | None = None) -> bytes:
+def _encode_rle(vals: np.ndarray, depth: int, stats: ChunkStats | None = None) -> bytes:
     breaks = stats._run_break_idx if stats is not None else None
     run_vals, run_lens = _run_split(vals, breaks)
-    sub_v = _encode_for(run_vals)
-    sub_l = _encode_sub(run_lens, int(run_lens.max()) if len(run_lens) else 0)
+    sub_v, _ = encode_array(run_vals, codec="auto", depth=depth + 1)
+    sub_l, _ = encode_array(run_lens, codec="auto", depth=depth + 1)
     return (
         bytes([CODEC_RLE])
         + _HDR_RLE.pack(len(vals), len(run_vals))
@@ -244,7 +227,7 @@ def _encode_rle(vals: np.ndarray, stats: ChunkStats | None = None) -> bytes:
     )
 
 
-def _encode_dict(vals: np.ndarray, stats: ChunkStats | None = None) -> bytes:
+def _encode_dict(vals: np.ndarray, depth: int, stats: ChunkStats | None = None) -> bytes:
     v = np.ascontiguousarray(vals, dtype=np.int64)
     uniq = stats._uniq if stats is not None and stats._uniq is not None else None
     if uniq is None:
@@ -252,10 +235,8 @@ def _encode_dict(vals: np.ndarray, stats: ChunkStats | None = None) -> bytes:
     else:
         idx = np.searchsorted(uniq, v)
     d = len(uniq)
-    sub_u = _encode_for(uniq)
-    sub_i = _encode_bitpack(
-        idx.astype(np.int64), bp.bit_width(max(d - 1, 0))
-    ) if len(v) else _encode_bitpack(idx.astype(np.int64))
+    sub_u, _ = encode_array(uniq, codec="auto", depth=depth + 1)
+    sub_i, _ = encode_array(idx.astype(np.int64), codec="auto", depth=depth + 1)
     return (
         bytes([CODEC_DICT])
         + _HDR_RLE.pack(len(v), d)
@@ -283,56 +264,99 @@ def _encode_fsst(vals: np.ndarray) -> bytes:
     )
 
 
-_ENCODERS = {
-    "plain": lambda v, s: _encode_plain(v),
-    "bitpack": lambda v, s: _encode_bitpack(v),
-    "for": lambda v, s: _encode_for(v),
-    "delta": lambda v, s: _encode_delta(v),
-    "rle": lambda v, s: _encode_rle(v, s),
-    "dict": lambda v, s: _encode_dict(v, s),
-    "fsst": lambda v, s: _encode_fsst(v),
-}
-
-_FSST_SAMPLE = 8192
-
-
-def choose_codec(vals: np.ndarray, stats: ChunkStats, try_fsst: bool = True) -> str:
-    """Pick the minimal-estimated-size codec, deterministically.
-
-    Mirrors the reference's policy ladder (override -> preserved -> preferred,
-    crates/copybook-cli/src/main.rs:293): estimates for the closed-form
-    codecs, a sampled try-encode for FSST, stable tie-break.
-    """
-    est = estimate_sizes(stats)
-    if try_fsst and stats.n >= 64:
-        sample = vals[:_FSST_SAMPLE]
-        enc = _encode_fsst(sample)
-        ratio = len(enc) / max(4 * len(sample), 1)
-        est["fsst"] = int(ratio * 4 * stats.n)
-    best = min(est.items(), key=lambda kv: (kv[1], _TIE_RANK.index(kv[0])))
-    return best[0]
+def _encode_named(name: str, v: np.ndarray, stats: ChunkStats | None, depth: int) -> bytes:
+    if name == "plain":
+        return _encode_plain(v)
+    if name == "bitpack":
+        return _encode_bitpack(v)
+    if name == "for":
+        return _encode_for(v, depth)
+    if name == "delta":
+        return _encode_delta(v, depth)
+    if name == "rle":
+        return _encode_rle(v, depth, stats)
+    if name == "dict":
+        return _encode_dict(v, depth, stats)
+    if name == "fsst":
+        return _encode_fsst(v)
+    raise UnknownCodecError(f"unknown codec {name!r}")
 
 
 def encode_array(
     vals: np.ndarray,
     codec: str = "auto",
     stats: ChunkStats | None = None,
+    depth: int = 0,
 ) -> tuple[bytes, str]:
     """Encode an int array -> (payload bytes, codec name actually used)."""
     v = np.ascontiguousarray(vals, dtype=np.int64)
-    if codec == "auto":
-        if stats is None:
-            stats = ChunkStats.analyze(v)
-        codec = choose_codec(v, stats)
-    if codec not in _ENCODERS:
-        raise UnknownCodecError(f"unknown codec {codec!r}")
-    out = _ENCODERS[codec](v, stats)
-    if codec != "plain":
-        plain = _encode_plain(v)
-        if len(plain) < len(out):  # guard: never worse than plain
-            return plain, "plain"
-    return out, codec
+    if codec != "auto":
+        out = _encode_named(codec, v, stats, depth)
+        if codec != "plain":
+            plain = _encode_plain(v)
+            if len(plain) < len(out):  # guard: never worse than plain
+                return plain, "plain"
+        return out, codec
+    if stats is None:
+        stats = ChunkStats.analyze(v, deep=(depth == 0))
+    names = _DEPTH_CANDIDATES[min(depth, _MAX_DEPTH)]
+    best: bytes | None = None
+    best_name = "plain"
+    for name in names:
+        if name == "bitpack" and stats.n and stats.vmin < 0:
+            continue
+        if name == "rle" and stats.n_runs > max(stats.n // 2, 4):
+            continue  # lower bound: 2 sub-values per run can't beat bitpack
+        if name == "dict" and stats.n_distinct > max(stats.n // 2, 4):
+            continue
+        enc = _encode_named(name, v, stats, depth)
+        if best is None or len(enc) < len(best):
+            best, best_name = enc, name
+    assert best is not None
+    if depth == 0 and stats.n >= _FSST_MIN_N:
+        sample = v[:_FSST_SAMPLE]
+        est = len(_encode_fsst(sample)) * (stats.n / len(sample))
+        if est < len(best):
+            enc = _encode_fsst(v)
+            if len(enc) < len(best):
+                best, best_name = enc, "fsst"
+    return best, best_name
 
+
+def choose_codec(vals: np.ndarray, stats: ChunkStats | None = None, **_) -> str:
+    """Name of the codec auto-selection would use (try-encode, exact)."""
+    return encode_array(vals, codec="auto", stats=stats)[1]
+
+
+def estimate_sizes(s: ChunkStats) -> dict[str, int]:
+    """Closed-form size estimates (non-cascaded layouts) — used for tests and
+    observability, NOT for selection (selection try-encodes)."""
+    n = s.n
+
+    def sub(k: int, mx: int) -> int:
+        if k == 0:
+            return 6
+        plain = 6 + (4 * k if mx < 2**31 else 8 * k)
+        return min(plain, 6 + bp.packed_size(k, bp.bit_width(mx)))
+
+    est: dict[str, int] = {}
+    est["plain"] = 1 + 6 + (4 * n if -(2**31) <= s.vmin and s.vmax < 2**31 else 8 * n)
+    if s.vmin >= 0:
+        est["bitpack"] = 1 + 6 + bp.packed_size(n, bp.bit_width(s.vmax))
+    rng = s.vmax - s.vmin
+    est["for"] = 1 + 13 + (sub(n, rng) if n else 6)
+    est["delta"] = 1 + 5 + sub(n, s.max_zz_delta)
+    r = s.n_runs
+    est["rle"] = 1 + 9 + (1 + 13 + sub(r, rng)) + 4 + sub(r, s.max_run_len) + 4
+    d = s.n_distinct
+    if d > 0:
+        est["dict"] = (
+            1 + 9 + 8 + (1 + 13 + sub(d, rng)) + sub(n, max(d - 1, 0))
+        )
+    return est
+
+
+# ----------------------------------------------------------------- decoders
 
 def _need(buf: memoryview, k: int, what: str) -> None:
     if len(buf) < k:
@@ -361,14 +385,13 @@ def decode_array(payload: bytes | memoryview) -> np.ndarray:
         if width > 64:
             raise PayloadCorruptError(f"bitpack width {width}")
         u = bp.unpack(body[5:], n, width)
-        return u.view(np.int64)
+        return u.view(np.int64) if u.flags.owndata else u.astype(np.int64)
     if cid == CODEC_FOR:
         _need(body, 12, "for header")
         n, ref = _HDR_FOR.unpack_from(body)
         sub = decode_array(body[12:])
         if len(sub) != n:
             raise CountMismatchError(f"for: {len(sub)} != {n}")
-        # modular add (inverse of the uint64 subtraction in _encode_for)
         return (sub.view(np.uint64) + np.uint64(ref % (1 << 64))).view(np.int64)
     if cid == CODEC_DELTA:
         _need(body, 4, "delta header")
@@ -395,15 +418,16 @@ def decode_array(payload: bytes | memoryview) -> np.ndarray:
         run_lens = decode_array(body[off : off + len2])
         if len(run_vals) != n_runs or len(run_lens) != n_runs:
             raise CountMismatchError("rle: run count mismatch")
-        if n_runs and int(run_lens.sum()) != n:
-            raise CountMismatchError("rle: total length mismatch")
         if (run_lens < 0).any():
             raise PayloadCorruptError("rle: negative run length")
+        if n_runs and int(run_lens.sum()) != n:
+            raise CountMismatchError("rle: total length mismatch")
         return np.repeat(run_vals, run_lens)
     if cid == CODEC_DICT:
         _need(body, 8, "dict header")
         n, d = _HDR_RLE.unpack_from(body)
         off = 8
+        _need(body, off + 4, "dict len1")
         (len1,) = _U32.unpack_from(body, off)
         off += 4
         _need(body, off + len1, "dict values")
