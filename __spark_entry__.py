@@ -26,7 +26,7 @@ from copybook_rs_spark.sources.tokens import TOKEN_TABLE_DUCKDB_SQL, token_table
 
 # sf0.01-sized config: small chunk budget so the table splits into many
 # chunks and codec selection is exercised per chunk.
-_CFG = EncodeConfig(chunk_values=16384, target_docs_per_part=20_000)
+_CFG = EncodeConfig(chunk_values=16384, target_values_per_part=131_072)
 
 _TOK = f"({TOKEN_TABLE_DUCKDB_SQL.strip()})"
 

@@ -2,8 +2,18 @@
 
 The generalization of the reference's packed-decimal (COMP-3) nibble logic
 (crates/copybook-codec/src/numeric.rs:1833: 2 BCD values per byte = a 4-bit
-pack with specialized fast paths). Here: any width 0..64, with byte-aligned
-fast paths for 8/16/32/64.
+pack with specialized fast paths). Byte-plane layout for speed: a width-w
+value is stored as w//8 full byte planes plus one (w mod 8)-bit plane; the
+sub-byte plane packs blocks of 8 values into exactly (w mod 8) bytes via a
+single uint64 multiply-accumulate — no per-bit matrices, so memory traffic
+is ~n*w/8 bytes (the reference's fast-path-by-width discipline,
+numeric.rs:1872-1960, applied to arbitrary widths).
+
+Layout for n values of width w (little-endian):
+  plane_0 .. plane_{k-1}: n bytes each, plane_i = (v >> 8*i) & 0xFF, k = w//8
+  tail plane (r = w mod 8 > 0): ceil(n/8) blocks of r bytes; block j packs
+  values v[8j..8j+8] (zero-padded) as the r-byte LE integer
+  sum(v_i << (r*i)).
 """
 
 from __future__ import annotations
@@ -20,27 +30,37 @@ def bit_width(max_value: int) -> int:
     return int(max_value).bit_length()
 
 
+def packed_size(n: int, width: int) -> int:
+    if n == 0 or width == 0:
+        return 0
+    k, r = divmod(width, 8)
+    size = n * k
+    if r:
+        size += ((n + 7) // 8) * r
+    return size
+
+
 def pack(vals: np.ndarray, width: int) -> bytes:
-    """Pack non-negative uint64 values into `width`-bit little-endian lanes."""
+    """Pack non-negative uint64 values (< 2**width) into byte planes."""
     n = len(vals)
     if n == 0 or width == 0:
         return b""
     v = np.ascontiguousarray(vals, dtype=np.uint64)
-    if width == 8:
-        return v.astype("<u1").tobytes()
-    if width == 16:
-        return v.astype("<u2").tobytes()
-    if width == 32:
-        return v.astype("<u4").tobytes()
-    if width == 64:
-        return v.astype("<u8").tobytes()
-    shifts = np.arange(width, dtype=np.uint64)
-    bits = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
-    return np.packbits(bits.ravel(), bitorder="little").tobytes()
-
-
-def packed_size(n: int, width: int) -> int:
-    return (n * width + 7) // 8
+    k, r = divmod(width, 8)
+    parts: list[bytes] = []
+    for i in range(k):
+        parts.append(((v >> np.uint64(8 * i)) & np.uint64(0xFF)).astype(np.uint8).tobytes())
+    if r:
+        hi = v >> np.uint64(8 * k)  # < 2**r
+        pad = (-n) % 8
+        if pad:
+            hi = np.concatenate([hi, np.zeros(pad, dtype=np.uint64)])
+        words = np.zeros(len(hi) // 8, dtype=np.uint64)  # 8r <= 56 bits used
+        for i in range(8):
+            words |= hi[i::8] << np.uint64(r * i)
+        wb = words.astype("<u8").view(np.uint8).reshape(-1, 8)[:, :r]
+        parts.append(np.ascontiguousarray(wb).tobytes())
+    return b"".join(parts)
 
 
 def unpack(buf: bytes | memoryview, n: int, width: int) -> np.ndarray:
@@ -54,11 +74,20 @@ def unpack(buf: bytes | memoryview, n: int, width: int) -> np.ndarray:
         raise TruncatedBlobError(
             f"bitpack payload truncated: need {need} bytes, have {len(buf)}"
         )
-    if width in (8, 16, 32, 64):
-        return np.frombuffer(buf, dtype=f"<u{width // 8}", count=n).astype(np.uint64)
     raw = np.frombuffer(buf, dtype=np.uint8, count=need)
-    bits = np.unpackbits(raw, count=n * width, bitorder="little")
-    weights = np.uint64(1) << np.arange(width, dtype=np.uint64)
-    return (bits.reshape(n, width).astype(np.uint64) * weights).sum(
-        axis=1, dtype=np.uint64
-    )
+    k, r = divmod(width, 8)
+    out = np.zeros(n, dtype=np.uint64)
+    for i in range(k):
+        out |= raw[i * n : (i + 1) * n].astype(np.uint64) << np.uint64(8 * i)
+    if r:
+        nb = (n + 7) // 8
+        tail = raw[k * n : k * n + nb * r].reshape(nb, r)
+        words = np.zeros((nb, 8), dtype=np.uint8)
+        words[:, :r] = tail
+        w64 = words.reshape(-1).view("<u8").astype(np.uint64)
+        mask = np.uint64((1 << r) - 1)
+        hi = np.empty(nb * 8, dtype=np.uint64)
+        for i in range(8):
+            hi[i::8] = (w64 >> np.uint64(r * i)) & mask
+        out |= hi[:n] << np.uint64(8 * k)
+    return out

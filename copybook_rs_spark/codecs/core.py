@@ -313,7 +313,10 @@ def encode_array(
         if best is None or len(enc) < len(best):
             best, best_name = enc, name
     assert best is not None
-    if depth == 0 and stats.n >= _FSST_MIN_N:
+    # FSST only pays off when the numeric codecs compress poorly (byte-level
+    # patterns the int codecs can't see); gate on the best-so-far ratio to
+    # keep the trainer off the hot path.
+    if depth == 0 and stats.n >= _FSST_MIN_N and len(best) > 1.25 * stats.n:
         sample = v[:_FSST_SAMPLE]
         est = len(_encode_fsst(sample)) * (stats.n / len(sample))
         if est < len(best):

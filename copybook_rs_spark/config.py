@@ -33,14 +33,19 @@ class EncodeConfig:
 
     codec: 'auto' (stats-driven selection) or a forced codec name.
     chunk_values: target token values per chunk (the unit of codec choice).
-    target_docs_per_part: salting pre-pass aims for at most this many docs in
-        one (source, part_id) group — bounds skew (north rule).
-    max_salt: cap on salt buckets per source.
+    target_values_per_part: salting pre-pass aims for about this many token
+        values in one (source, part_id) group — bounds skew (north rule) AND
+        sets task granularity: group count grows with data volume, never with
+        cluster size, so chunk content stays parallelism-invariant while a
+        bigger cluster just gets more groups to steal. ~32 chunks / a few
+        hundred ms of kernel work per group, so per-task overhead stays <5%.
+    max_salt: cap on salt buckets per source (a 90%-hot source at 10^12
+        values needs ~2M buckets, so the cap is generous).
     """
 
     codec: str = "auto"
     chunk_values: int = 65536
-    target_docs_per_part: int = 50_000
-    max_salt: int = 256
+    target_values_per_part: int = 2_097_152
+    max_salt: int = 1 << 21
     shuffle_partitions: int | None = None
     fingerprint: str = field(default_factory=schema_fingerprint)

@@ -14,7 +14,7 @@ where S(source) is a salting factor chosen by a driver-side pre-pass over
 so chunk content is identical at local[2], local[32], or 1000 executors.
 
 At 100 TB the pre-pass is a cheap single shuffle over a low-cardinality key;
-S caps any one group at ~target_docs_per_part docs, so no task ever sees an
+S caps any one group at ~target_values_per_part token values, so no task ever sees an
 unbounded hot partition. AQE remains enabled as a backstop.
 """
 
@@ -25,13 +25,16 @@ from pyspark.sql import DataFrame, functions as F
 SALT_SEED = 42
 
 
-def plan_salts(df: DataFrame, target_docs_per_part: int, max_salt: int) -> dict[str, int]:
-    """Pre-pass: docs per source -> salt factor per source (driver-side;
-    result is small: one row per distinct source)."""
-    rows = df.groupBy("source").count().collect()
+def plan_salts(
+    df: DataFrame, target_values_per_part: int, max_salt: int
+) -> dict[str, int]:
+    """Pre-pass: token values per source -> salt factor per source
+    (driver-side; result is small: one row per distinct source). Value-based
+    so task granularity tracks data volume, not doc counts."""
+    rows = df.groupBy("source").agg(F.sum("n_tok").alias("values")).collect()
     plan: dict[str, int] = {}
     for r in rows:
-        s = max(1, -(-int(r["count"]) // target_docs_per_part))  # ceil
+        s = max(1, -(-int(r["values"] or 0) // target_values_per_part))  # ceil
         plan[r["source"]] = min(s, max_salt)
     return plan
 

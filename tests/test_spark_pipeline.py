@@ -22,7 +22,7 @@ from copybook_rs_spark.sources import manifest as mani
 from copybook_rs_spark.sources.tokens import synthetic_tokens, token_table
 
 SF_DIR = "/root/testdata/sf0.001"
-CFG = EncodeConfig(chunk_values=4096, target_docs_per_part=400, shuffle_partitions=8)
+CFG = EncodeConfig(chunk_values=4096, target_values_per_part=12_288, shuffle_partitions=8)
 
 
 @pytest.fixture(scope="module")
@@ -52,7 +52,7 @@ def test_roundtrip_profiles(spark, profile):
 
 def test_roundtrip_skewed_source(spark):
     df = synthetic_tokens(spark, "skewed_source", 1500)
-    cfg = EncodeConfig(chunk_values=4096, target_docs_per_part=200, shuffle_partitions=8)
+    cfg = EncodeConfig(chunk_values=4096, target_values_per_part=65_536, shuffle_partitions=8)
     chunk_df = encode_tokens(df, cfg)
     # salting actually splits the hot source into multiple part_ids
     parts = (
@@ -73,8 +73,8 @@ def _chunk_content_hash(chunk_df) -> str:
 
 def test_chunking_deterministic_across_partitioning(spark, tok_df):
     # same data, different shuffle widths -> identical chunk table content
-    cfg_a = EncodeConfig(chunk_values=4096, target_docs_per_part=400, shuffle_partitions=3)
-    cfg_b = EncodeConfig(chunk_values=4096, target_docs_per_part=400, shuffle_partitions=16)
+    cfg_a = EncodeConfig(chunk_values=4096, target_values_per_part=12_288, shuffle_partitions=3)
+    cfg_b = EncodeConfig(chunk_values=4096, target_values_per_part=12_288, shuffle_partitions=16)
     h_a = _chunk_content_hash(encode_tokens(tok_df, cfg_a))
     h_b = _chunk_content_hash(encode_tokens(tok_df, cfg_b))
     assert h_a == h_b
@@ -106,7 +106,7 @@ def test_compression_beats_plain(spark, tok_df):
 def test_manifest_and_resume(spark, tok_df, tmp_path):
     out = str(tmp_path / "enc")
     cfg = CFG
-    salts = plan_salts(tok_df, cfg.target_docs_per_part, cfg.max_salt)
+    salts = plan_salts(tok_df, cfg.target_values_per_part, cfg.max_salt)
     chunk_df = encode_tokens(tok_df, cfg, salts=salts)
     mani.write_encoded(chunk_df, out)
     m = mani.read_manifest(spark, out)
