@@ -19,7 +19,12 @@ from copybook_rs_spark.functions import (
     RUNS_PER_DOC_SPARK,
     project_columns,
 )
+from copybook_rs_spark.functions import text as text_sql
 from copybook_rs_spark.operators import encode_tokens
+from copybook_rs_spark.operators.audit import audit_summary
+from copybook_rs_spark.operators.dedup import simhash
+from copybook_rs_spark.operators.multimodal import extract_features
+from copybook_rs_spark.operators.similarity import lsh_topk
 from copybook_rs_spark.operators.verify import verified_counts
 from copybook_rs_spark.sources.manifest import build_manifest
 from copybook_rs_spark.sources.tokens import TOKEN_TABLE_DUCKDB_SQL, token_table
@@ -155,8 +160,77 @@ def _q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in ("documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _sql_query(builder):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register_views(spark, sf_dir)
+        return spark.sql(builder("spark"))
+
+    return run
+
+
+def _q_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P4 lenient policy: per-source chunk audit (rows-only; engine-internal)
+    tok = token_table(spark, sf_dir)
+    return audit_summary(encode_tokens(tok, _CFG)).drop("sample_error_codes")
+
+
+def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: 64-bit SimHash fingerprints (numpy kernel)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = simhash(docs)
+    return fp.groupBy(F.pmod(F.col("simhash"), F.lit(16)).alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("simhash").alias("n_distinct_fp"),
+    )
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: bucketed ANN (exact re-rank inside the query's LSH bucket)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrow = emb.orderBy("vec_id").limit(1).collect()[0]
+    return lsh_topk(emb, list(qrow["embedding"]), k=10)
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: binary-column plumbing with deterministic fake features
+    # (real decode stubbed — operators/multimodal.py decode_media)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("media"),
+        F.lit("image").alias("kind"),
+        F.lit(640).alias("width"),
+        F.lit(480).alias("height"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 4).alias("f0"),
+        F.round(F.element_at("features", 16), 4).alias("f15"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- training-pipeline operators (documents/embeddings tables) ---
+        "text_quality": _sql_query(text_sql.text_quality_sql),
+        "token_count": _sql_query(text_sql.token_count_sql),
+        "doc_fingerprint": _sql_query(text_sql.fingerprint_sql),
+        "lang_guess": _sql_query(text_sql.lang_guess_sql),
+        "minhash_bands": _sql_query(text_sql.minhash_bands_sql),
+        "near_dup_pairs": _sql_query(text_sql.near_dup_pairs_sql),
+        "ann_cosine_topk": _sql_query(text_sql.ann_cosine_topk_sql),
+        "simhash_dedup": _q_simhash_dedup,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "multimodal_features": _q_multimodal_features,
+        "audit_report": _q_audit_report,
         "stats_minmax": _q_stats_minmax,
         "stats_cardinality": _q_stats_cardinality,
         "run_count": _q_run_count,
@@ -174,6 +248,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- training-pipeline oracles (DuckDB dialect twins) ---
+        "text_quality": text_sql.text_quality_sql("duckdb"),
+        "token_count": text_sql.token_count_sql("duckdb"),
+        "doc_fingerprint": text_sql.fingerprint_sql("duckdb"),
+        "lang_guess": text_sql.lang_guess_sql("duckdb"),
+        "minhash_bands": text_sql.minhash_bands_sql("duckdb"),
+        "near_dup_pairs": text_sql.near_dup_pairs_sql("duckdb"),
+        "ann_cosine_topk": text_sql.ann_cosine_topk_sql("duckdb"),
+        # simhash_dedup / ann_lsh_topk / multimodal_features / audit_report:
+        # engine-internal kernels -> rows-only checks
         "stats_minmax": f"""
             SELECT source,
                    min(token) AS min_token,

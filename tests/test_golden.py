@@ -1,0 +1,82 @@
+"""Golden SHA-256 fixtures per (profile, codec) — the analogue of the
+reference's checked-in golden files (fixtures/golden/*.sha256,
+docs/GOLDEN_FIXTURES_GUIDE.md): any unintended change to codec byte layout
+or selection policy fails here loudly. Regenerate intentionally with
+`python tests/test_golden.py --regen` after a deliberate format change.
+"""
+
+import hashlib
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from copybook_rs_spark import blob
+from copybook_rs_spark.codecs import encode_array
+from copybook_rs_spark.sources.tokens import synthetic_arrays
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden_sha256.json")
+PROFILES = ["uniform_hi", "lowcard", "runs", "narrow_range", "texty", "mixed", "edge"]
+CODECS = ["auto", "plain", "bitpack", "for", "delta", "rle", "dict", "fsst"]
+
+
+def _profile_values(profile: str) -> np.ndarray:
+    _, arrays, _ = synthetic_arrays(profile, 64, seed=42)
+    return np.concatenate(arrays).astype(np.int64)
+
+
+def _compute() -> dict:
+    out = {}
+    for profile in PROFILES:
+        vals = _profile_values(profile)
+        for codec in CODECS:
+            payload, used = encode_array(vals, codec=codec)
+            out[f"{profile}/{codec}"] = {
+                "sha256": hashlib.sha256(payload).hexdigest(),
+                "bytes": len(payload),
+                "used": used,
+            }
+        # full blob golden (header + sections + doc ids)
+        doc_ids, arrays, _ = synthetic_arrays(profile, 64, seed=42)
+        doc_bytes = "".join(doc_ids).encode()
+        doc_lens = np.array([len(d) for d in doc_ids], np.int64)
+        lengths = np.array([len(a) for a in arrays], np.int64)
+        b, info = blob.encode_chunk(doc_bytes, doc_lens, lengths, vals)
+        out[f"{profile}/blob"] = {
+            "sha256": hashlib.sha256(b).hexdigest(),
+            "bytes": len(b),
+            "used": info["codec"],
+        }
+    return out
+
+
+@pytest.fixture(scope="module")
+def golden():
+    with open(GOLDEN_PATH) as f:
+        return json.load(f)
+
+
+@pytest.mark.parametrize("profile", PROFILES)
+def test_golden_profile(golden, profile):
+    computed = _compute()
+    for key, want in golden.items():
+        if not key.startswith(profile + "/"):
+            continue
+        got = computed[key]
+        assert got == want, f"golden mismatch for {key}: {got} != {want}"
+
+
+def test_auto_selection_expected_codecs(golden):
+    # FIXTURES.md invariant 5: the right codec family wins per profile
+    assert golden["runs/auto"]["used"] == "rle"
+    assert golden["lowcard/auto"]["used"] in ("dict", "bitpack", "rle", "fsst")
+    assert golden["narrow_range/auto"]["used"] in ("for", "dict", "delta")
+
+
+if __name__ == "__main__":
+    if "--regen" in sys.argv:
+        with open(GOLDEN_PATH, "w") as f:
+            json.dump(_compute(), f, indent=1, sort_keys=True)
+        print(f"regenerated {GOLDEN_PATH}")

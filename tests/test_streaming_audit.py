@@ -1,0 +1,84 @@
+"""Streaming incremental encode + lenient audit operator tests."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from copybook_rs_spark.config import EncodeConfig
+from copybook_rs_spark.operators import decode_tokens, encode_tokens
+from copybook_rs_spark.operators.audit import audit_chunks, audit_summary
+from copybook_rs_spark.plans.partition import plan_salts
+from copybook_rs_spark.sources import manifest as mani
+from copybook_rs_spark.sources.tokens import synthetic_tokens
+from copybook_rs_spark.streaming import incremental_encode
+
+CFG = EncodeConfig(chunk_values=4096, target_values_per_part=65_536, shuffle_partitions=8)
+
+
+def test_incremental_encode_stream(spark, tmp_path):
+    in_dir = str(tmp_path / "incoming")
+    out_dir = str(tmp_path / "enc")
+    df = synthetic_tokens(spark, "lowcard", 600)
+    salts = plan_salts(df, CFG.target_values_per_part, CFG.max_salt)
+
+    # land two file batches, run the stream to completion each time
+    a, b = df.filter("n_tok % 2 = 0"), df.filter("n_tok % 2 = 1")
+    a.write.mode("append").parquet(in_dir)
+    q = incremental_encode(spark, in_dir, out_dir, CFG, salts=salts)
+    q.awaitTermination(120)
+    b.write.mode("append").parquet(in_dir)
+    q2 = incremental_encode(spark, in_dir, out_dir, CFG, salts=salts)
+    q2.awaitTermination(120)
+
+    chunks = mani.read_chunks(spark, out_dir)
+    dec = decode_tokens(chunks)
+    # bit-identity across the whole stream
+    orig = df.select("doc_id", F.col("tokens").alias("ta"))
+    got = dec.select("doc_id", F.col("tokens").alias("tb"))
+    bad = (
+        orig.join(got, "doc_id", "full_outer")
+        .filter(
+            F.col("ta").isNull() | F.col("tb").isNull() | (F.col("ta") != F.col("tb"))
+        )
+        .count()
+    )
+    assert bad == 0
+    # second micro-batch must not have re-encoded the first (exactly-once)
+    assert dec.count() == df.count()
+    m = mani.read_manifest(spark, out_dir)
+    assert m.agg(F.sum("n_docs")).collect()[0][0] == df.count()
+
+
+def test_audit_all_ok(spark):
+    df = synthetic_tokens(spark, "runs", 300)
+    chunks = encode_tokens(df, CFG)
+    rep = audit_summary(chunks).collect()
+    assert all(r["n_error"] == 0 and r["error_rate"] == 0.0 for r in rep)
+
+
+def test_audit_detects_corruption_without_failing(spark):
+    df = synthetic_tokens(spark, "runs", 300)
+    chunks = encode_tokens(df, CFG).cache()
+    n = chunks.count()
+    # corrupt one chunk's payload byte (binary substr splice)
+    corrupted = chunks.withColumn(
+        "blob",
+        F.when(
+            F.col("chunk_seq") == 0,
+            F.expr(
+                "concat(substring(blob, 1, 40), X'5A', substring(blob, 42, length(blob)))"
+            ),
+        ).otherwise(F.col("blob")),
+    )
+    audited = audit_chunks(corrupted)
+    rows = audited.collect()
+    assert len(rows) == n  # lenient: every chunk reported, job never dies
+    errs = [r for r in rows if r["status"] == "error"]
+    assert len(errs) >= 1
+    assert all(e["error_code"].startswith("CBSP") for e in errs)
+    summary = audit_summary(corrupted).collect()
+    total_err = sum(r["n_error"] for r in summary)
+    assert total_err == len(errs)
+    codes = [c for r in summary for c in r["sample_error_codes"] if c]
+    assert any(c.startswith("CBSP") for c in codes)
