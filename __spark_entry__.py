@@ -173,6 +173,33 @@ def _sql_query(builder):
     return run
 
 
+def _q_conditions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P3: level-88 condition predicates (VALUE sets + VALUE THRU ranges,
+    # reference crates/copybook-core/src/parser.rs:1380) as named columns.
+    from copybook_rs_spark.functions import condition
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    is_click = condition("event_type", values=["click", "view"])
+    mid_value = condition("value", between=(10.0, 100.0))
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(is_click.cast("long")).alias("n_click_or_view"),
+        F.sum(mid_value.cast("long")).alias("n_mid_value"),
+    )
+
+
+def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S4/S5: JSONL envelope sink -> source round-trip preserves every row.
+    from copybook_rs_spark.operators.jsonl import from_jsonl, to_jsonl
+
+    tok = token_table(spark, sf_dir)
+    back = from_jsonl(to_jsonl(tok))
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_values"),
+    )
+
+
 def _q_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # P4 lenient policy: per-source chunk audit (rows-only; engine-internal)
     tok = token_table(spark, sf_dir)
@@ -227,6 +254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": _sql_query(text_sql.minhash_bands_sql),
         "near_dup_pairs": _sql_query(text_sql.near_dup_pairs_sql),
         "ann_cosine_topk": _sql_query(text_sql.ann_cosine_topk_sql),
+        "conditions_events": _q_conditions_events,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
         "simhash_dedup": _q_simhash_dedup,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "multimodal_features": _q_multimodal_features,
@@ -256,6 +285,23 @@ def oracle_sql() -> dict[str, str]:
         "minhash_bands": text_sql.minhash_bands_sql("duckdb"),
         "near_dup_pairs": text_sql.near_dup_pairs_sql("duckdb"),
         "ann_cosine_topk": text_sql.ann_cosine_topk_sql("duckdb"),
+        "conditions_events": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CASE WHEN event_type IN ('click', 'view')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_click_or_view,
+                   CAST(sum(CASE WHEN value BETWEEN 10.0 AND 100.0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_mid_value
+            FROM events
+            GROUP BY event_type
+        """,
+        "jsonl_roundtrip": f"""
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_values
+            FROM {_TOK}
+            GROUP BY source
+        """,
         # simhash_dedup / ann_lsh_topk / multimodal_features / audit_report:
         # engine-internal kernels -> rows-only checks
         "stats_minmax": f"""
