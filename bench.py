@@ -50,6 +50,12 @@ def main() -> None:
         write_encoded(encode_tokens(tok, cfg), out)
         times["encode_write"] = time.perf_counter() - t
 
+        # steady-state encode (workers warm, no sink) — the criterion-style
+        # post-warmup number the scaling receipts use
+        t = time.perf_counter()
+        encode_tokens(tok, cfg).count()
+        times["encode_warm_nosink"] = time.perf_counter() - t
+
         chunks = read_chunks(spark, out)
         t = time.perf_counter()
         dec_tokens = decode_tokens(chunks).agg(F.sum("n_tok")).collect()[0][0]
@@ -100,6 +106,9 @@ def main() -> None:
             "n_docs": n_docs,
             "n_tokens": n_tokens,
             "encode_tokens_per_sec": round(n_tokens / times["encode_write"]),
+            "encode_warm_tokens_per_sec": round(
+                n_tokens / times["encode_warm_nosink"]
+            ),
             "decode_tokens_per_sec": round(n_tokens / times["decode"]),
             "bytes_per_token": round(int(sizes["enc"]) / n_tokens, 4),
             "ref_parquet_zstd_bytes_per_token": round(ref_bytes / n_tokens, 4),

@@ -26,15 +26,28 @@ SALT_SEED = 42
 
 
 def plan_salts(
-    df: DataFrame, target_values_per_part: int, max_salt: int
+    df: DataFrame,
+    target_values_per_part: int,
+    max_salt: int,
+    min_groups: int = 64,
 ) -> dict[str, int]:
     """Pre-pass: token values per source -> salt factor per source
     (driver-side; result is small: one row per distinct source). Value-based
-    so task granularity tracks data volume, not doc counts."""
+    so task granularity tracks data volume, not doc counts.
+
+    The effective per-group target is min(configured target, total/min_groups)
+    so small inputs still fan out to ~min_groups tasks while huge inputs keep
+    the configured ~2M-value groups. Both terms are functions of the DATA, so
+    group membership — and therefore chunk content — stays identical at any
+    cluster size."""
     rows = df.groupBy("source").agg(F.sum("n_tok").alias("values")).collect()
+    total = sum(int(r["values"] or 0) for r in rows)
+    target = max(
+        min(target_values_per_part, max(total // min_groups, 1)), 1
+    )
     plan: dict[str, int] = {}
     for r in rows:
-        s = max(1, -(-int(r["values"] or 0) // target_values_per_part))  # ceil
+        s = max(1, -(-int(r["values"] or 0) // target))  # ceil
         plan[r["source"]] = min(s, max_salt)
     return plan
 
