@@ -51,16 +51,35 @@ def to_jsonl(df: DataFrame, cfg: EncodeConfig | None = None) -> DataFrame:
     return df.select(F.to_json(env).alias("value"))
 
 
-def from_jsonl(lines: DataFrame, cfg: EncodeConfig | None = None) -> DataFrame:
+def from_jsonl(
+    lines: DataFrame,
+    cfg: EncodeConfig | None = None,
+    on_error: str = "skip",
+) -> DataFrame:
     """JSON envelope lines -> token table (the encode-direction source,
     lib_api.rs:2837). Rejects rows whose fingerprint does not match the
-    engine schema (provenance check, schema.rs:248)."""
+    engine schema (provenance check, schema.rs:248).
+
+    on_error: 'skip' (lenient — malformed/foreign lines dropped) or 'fail'
+    (strict — raises CBSP204 naming the rejected-line count; the
+    DecodeOptions strict/lenient ladder)."""
     cfg = cfg or EncodeConfig()
     col = "value" if "value" in lines.columns else lines.columns[0]
     parsed = lines.select(
         F.from_json(F.col(col), _ENVELOPE_STRUCT).alias("env")
     ).select("env.*")
-    return parsed.filter(
-        (F.col("schema") == ENVELOPE_SCHEMA_NAME)
+    ok = (
+        F.col("schema").isNotNull()
+        & (F.col("schema") == ENVELOPE_SCHEMA_NAME)
         & (F.col("schema_fingerprint") == cfg.fingerprint)
-    ).select("doc_id", "tokens", "n_tok", "source")
+        & F.col("tokens").isNotNull()
+    )
+    if on_error == "fail":
+        from copybook_rs_spark.errors import PayloadCorruptError
+
+        bad = parsed.filter(~F.coalesce(ok, F.lit(False))).count()
+        if bad:
+            raise PayloadCorruptError(
+                f"{bad} JSONL line(s) malformed or foreign-fingerprinted"
+            )
+    return parsed.filter(ok).select("doc_id", "tokens", "n_tok", "source")

@@ -31,7 +31,7 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def child(cores: int, rep: int, runs: int, sf_dir: str) -> None:
+def child(cores: int, rep: int, runs: int, sf_dir: str, job: str = "encode") -> None:
     from pyspark.sql import functions as F
 
     from copybook_rs_spark.config import EncodeConfig
@@ -55,28 +55,47 @@ def child(cores: int, rep: int, runs: int, sf_dir: str) -> None:
     cfg = EncodeConfig()
     salts = plan_salts(tok, cfg.target_values_per_part, cfg.max_salt)
 
+    import shutil
+    import tempfile
+
+    from copybook_rs_spark.operators.decode import decode_tokens
+
     # warmups (python workers, codegen); also grab the content hash
     chunks = encode_tokens(tok, cfg, salts=salts)
     rows = chunks.select("chunk_id", "crc32", "n_values", "codec").collect()
     canon = sorted((r[0], r[1], r[2], r[3]) for r in rows)
     content_hash = hashlib.sha256(repr(canon).encode()).hexdigest()
     enc_bytes = int(chunks.agg(F.sum("enc_bytes")).collect()[0][0])
-    encode_tokens(tok, cfg, salts=salts).count()  # second warmup
+    tmpdir = None
+    if job == "decode":
+        tmpdir = tempfile.mkdtemp(prefix="cbsp_scale_", dir="/dev/shm")
+        encode_tokens(tok, cfg, salts=salts).write.parquet(tmpdir + "/chunks")
+        src = spark.read.parquet(tmpdir + "/chunks")
 
+        def run_job():
+            decode_tokens(src).count()
+    else:
+        def run_job():
+            encode_tokens(tok, cfg, salts=salts).count()
+
+    run_job()  # second warmup
     jvm = spark.sparkContext._jvm
     samples = []
     for _ in range(runs):
         jvm.System.gc()  # drop accumulated shuffle files / old gen
         time.sleep(0.5)
         t = time.perf_counter()
-        encode_tokens(tok, cfg, salts=salts).count()
+        run_job()
         samples.append(time.perf_counter() - t)
     spark.stop()
+    if tmpdir:
+        shutil.rmtree(tmpdir, ignore_errors=True)
     print(
         "CHILD_RESULT "
         + json.dumps(
             {
                 "cores": cores,
+                "job": job,
                 "n_docs": n_docs,
                 "n_tokens": n_tokens,
                 "samples_sec": [round(s, 3) for s in samples],
@@ -90,13 +109,13 @@ def child(cores: int, rep: int, runs: int, sf_dir: str) -> None:
     )
 
 
-def run_child(cores: int, rep: int, runs: int, sf_dir: str) -> dict:
+def run_child(cores: int, rep: int, runs: int, sf_dir: str, job: str) -> dict:
     env = dict(os.environ, PYTHONPATH=REPO, SPARK_DRIVER_MEM="24g")
     out = subprocess.run(
         [
             sys.executable, os.path.abspath(__file__),
             "--child", "--cores", str(cores), "--rep", str(rep),
-            "--runs", str(runs), "--sf-dir", sf_dir,
+            "--runs", str(runs), "--sf-dir", sf_dir, "--job", job,
         ],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=3000,
     )
@@ -114,21 +133,22 @@ def main() -> None:
     ap.add_argument("--rep", type=int, default=4)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--job", choices=["encode", "decode"], default="encode")
     args = ap.parse_args()
     if not args.child and args.n < 1:
         ap.error("--n must be >= 1")
     if args.child and args.cores < 1:
         ap.error("--cores must be >= 1 in child mode")
     if args.child:
-        child(args.cores, args.rep, args.runs, args.sf_dir)
+        child(args.cores, args.rep, args.runs, args.sf_dir, args.job)
         return
 
-    small = run_child(args.n, args.rep, args.runs, args.sf_dir)
-    big = run_child(4 * args.n, args.rep, args.runs, args.sf_dir)
+    small = run_child(args.n, args.rep, args.runs, args.sf_dir, args.job)
+    big = run_child(4 * args.n, args.rep, args.runs, args.sf_dir, args.job)
     eff = (big["tokens_per_sec"] / small["tokens_per_sec"]) / 4
     det = small["content_hash"] == big["content_hash"]
     result = {
-        "metric": "encode scaling efficiency (N vs 4N cores)",
+        "metric": f"{args.job} scaling efficiency (N vs 4N cores)",
         "N": args.n,
         "n_tokens": small["n_tokens"],
         "tokens_per_sec_N": small["tokens_per_sec"],
@@ -143,7 +163,7 @@ def main() -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
     lines = [
-        f"\n## Scaling receipt — {stamp}\n",
+        f"\n## Scaling receipt ({args.job}) — {stamp}\n",
         f"Input: {args.sf_dir} token table × {args.rep} replicas "
         f"= {small['n_docs']:,} docs / {small['n_tokens']:,} tokens (cached); "
         f"encode job (salt plan fixed, auto codec, 64Ki-value chunks); "

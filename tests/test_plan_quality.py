@@ -96,3 +96,16 @@ def test_projection_errors(spark):
     with pytest.raises(UnknownColumnError) as e:
         project_columns(tok, ["nope"])
     assert "CBSP701" in str(e.value)
+
+
+def test_jsonl_strict_mode_raises(spark):
+    from copybook_rs_spark.errors import PayloadCorruptError
+    from copybook_rs_spark.operators.jsonl import from_jsonl, to_jsonl
+
+    tok = token_table(spark, SF).limit(5)
+    good = to_jsonl(tok)
+    assert from_jsonl(good, on_error="fail").count() == 5
+    mixed = good.unionAll(spark.createDataFrame([("not json",)], ["value"]))
+    with pytest.raises(PayloadCorruptError) as e:
+        from_jsonl(mixed, on_error="fail")
+    assert "CBSP204" in str(e.value) and "1 JSONL" in str(e.value)
