@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from copybook_rs_spark.config import EncodeConfig
 from copybook_rs_spark.operators import decode_tokens, encode_tokens
-from copybook_rs_spark.operators.verify import verified_counts
+
 from copybook_rs_spark.session import get_spark
 from copybook_rs_spark.sources.manifest import build_manifest, read_chunks, write_encoded
 from copybook_rs_spark.sources.tokens import token_table
@@ -62,10 +62,23 @@ def main() -> None:
         times["decode"] = time.perf_counter() - t
         assert int(dec_tokens) == n_tokens, "decode token-count mismatch"
 
+        # verify the WRITTEN artifact: decode-from-disk must reproduce every
+        # row bit-identically (cheaper and stricter than re-encoding)
         t = time.perf_counter()
-        vc = verified_counts(tok, cfg).agg(F.sum("docs_verified")).collect()[0][0]
-        times["verify_roundtrip"] = time.perf_counter() - t
-        assert int(vc) == n_docs, "verification failed"
+        dec = decode_tokens(chunks)
+        a = tok.select("doc_id", F.col("tokens").alias("ta"))
+        b = dec.select("doc_id", F.col("tokens").alias("tb"))
+        mismatches = (
+            a.join(b, "doc_id", "full_outer")
+            .filter(
+                F.col("ta").isNull()
+                | F.col("tb").isNull()
+                | (F.col("ta") != F.col("tb"))
+            )
+            .count()
+        )
+        times["verify_written"] = time.perf_counter() - t
+        assert mismatches == 0, "verification failed"
 
         t = time.perf_counter()
         tok.select("source", F.explode("tokens").alias("token")).groupBy(

@@ -285,7 +285,10 @@ def encode_tokens(
     """
     cfg = cfg or EncodeConfig()
     if salts is None:
-        salts = plan_salts(df, cfg.target_values_per_part, cfg.max_salt)
+        salts = plan_salts(
+            df, cfg.target_values_per_part, cfg.max_salt,
+            chunk_floor=cfg.chunk_values,
+        )
     num_parts = cfg.shuffle_partitions or max(
         sum(salts.values()), df.sparkSession.sparkContext.defaultParallelism
     )

@@ -30,6 +30,7 @@ def plan_salts(
     target_values_per_part: int,
     max_salt: int,
     min_groups: int = 64,
+    chunk_floor: int = 65536,
 ) -> dict[str, int]:
     """Pre-pass: token values per source -> salt factor per source
     (driver-side; result is small: one row per distinct source). Value-based
@@ -42,8 +43,10 @@ def plan_salts(
     cluster size."""
     rows = df.groupBy("source").agg(F.sum("n_tok").alias("values")).collect()
     total = sum(int(r["values"] or 0) for r in rows)
+    # never shatter below one full chunk per group: tiny inputs keep full
+    # chunks (compression) over fan-out (parallelism they don't need)
     target = max(
-        min(target_values_per_part, max(total // min_groups, 1)), 1
+        min(target_values_per_part, max(total // min_groups, chunk_floor)), 1
     )
     plan: dict[str, int] = {}
     for r in rows:
