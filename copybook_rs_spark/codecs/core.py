@@ -96,6 +96,7 @@ class ChunkStats:
     is_sorted: bool
     max_run_len: int
     max_zz_delta: int
+    n_delta_runs: int = 0  # runs in the (modular) diff stream
     _uniq: np.ndarray | None = field(default=None, repr=False)
     _run_break_idx: np.ndarray | None = field(default=None, repr=False)
 
@@ -118,6 +119,11 @@ class ChunkStats:
         run_bounds = np.concatenate(([-1], breaks, [n - 1]))
         max_run = int(np.diff(run_bounds).max())
         is_sorted = bool((v[1:] >= v[:-1]).all()) if n > 1 else True
+        # lower bound on runs in the zigzag-delta stream (zigzag injective,
+        # so runs(diffs) lower-bounds runs of the full [v0]+diffs stream)
+        n_delta_runs = (
+            int((diffs_u[1:] != diffs_u[:-1]).sum()) + 1 if n > 2 else min(n, 1)
+        )
         uniq = np.unique(v) if deep else None
         zz_first = vi.zigzag_encode(v[:1])
         zz_rest = vi.zigzag_encode(diffs_u.view(np.int64))
@@ -300,14 +306,25 @@ def encode_array(
     if stats is None:
         stats = ChunkStats.analyze(v, deep=(depth == 0))
     names = _DEPTH_CANDIDATES[min(depth, _MAX_DEPTH)]
+    est = estimate_sizes(stats)
+    lb = _lower_bounds(stats)
+    # best-estimate-first with safe lower-bound pruning: a skipped candidate
+    # provably cannot be strictly smaller than the current best, so the
+    # selected codec equals full try-encode's choice (cheaper, deterministic)
+    ordered = sorted(
+        (n for n in names),
+        key=lambda n: (est.get(n, 1 << 60), names.index(n)),
+    )
     best: bytes | None = None
     best_name = "plain"
-    for name in names:
+    for name in ordered:
         if name == "bitpack" and stats.n and stats.vmin < 0:
             continue
         if name == "rle" and stats.n_runs > max(stats.n // 2, 4):
-            continue  # lower bound: 2 sub-values per run can't beat bitpack
+            continue  # 2 sub-values per run can't beat bitpack
         if name == "dict" and stats.n_distinct > max(stats.n // 2, 4):
+            continue
+        if best is not None and lb.get(name, 0) >= len(best):
             continue
         enc = _encode_named(name, v, stats, depth)
         if best is None or len(enc) < len(best):
@@ -324,6 +341,28 @@ def encode_array(
             if len(enc) < len(best):
                 best, best_name = enc, "fsst"
     return best, best_name
+
+
+def _lower_bounds(s: ChunkStats) -> dict[str, int]:
+    """Safe per-codec size minima (cascades included): used to SKIP a
+    candidate only when it provably cannot beat the current best.
+
+    plain/bitpack/for are closed-form exact (their layouts have no
+    cascades); delta/rle/dict bounds assume the most favorable imaginable
+    sub-encoding (>= 1 bit per run/element that must be stored)."""
+    n = s.n
+    out: dict[str, int] = {}
+    out["plain"] = 1 + 6 + (4 * n if -(2**31) <= s.vmin and s.vmax < 2**31 else 8 * n)
+    if s.vmin >= 0:
+        out["bitpack"] = 1 + 6 + bp.packed_size(n, bp.bit_width(s.vmax))
+    out["for"] = 1 + 13 + min(
+        6 + bp.packed_size(n, bp.bit_width(s.vmax - s.vmin)),
+        6 + (4 * n if s.vmax - s.vmin < 2**31 else 8 * n),
+    ) if n else 20
+    out["delta"] = 10 + s.n_delta_runs // 8
+    out["rle"] = 18 + s.n_runs // 8
+    out["dict"] = 18 + s.n_distinct // 8
+    return out
 
 
 def choose_codec(vals: np.ndarray, stats: ChunkStats | None = None, **_) -> str:
