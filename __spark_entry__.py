@@ -173,6 +173,36 @@ def _sql_query(builder):
     return run
 
 
+def _q_record_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.5 window: the reference's record_index stream numbering
+    # (iterator.rs:304) as row_number over the deterministic order.
+    tok = token_table(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    idx = tok.select(
+        "source", "doc_id", F.row_number().over(w).alias("record_index")
+    )
+    return idx.groupBy("source").agg(
+        F.max("record_index").alias("n_records"),
+        F.sum("record_index").alias("index_checksum"),
+    )
+
+
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # event-time bucketing (date functions; order-independent aggregates
+    # only, so float values hash identically across engines)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
 def _q_conditions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # P3: level-88 condition predicates (VALUE sets + VALUE THRU ranges,
     # reference crates/copybook-core/src/parser.rs:1380) as named columns.
@@ -254,6 +284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": _sql_query(text_sql.minhash_bands_sql),
         "near_dup_pairs": _sql_query(text_sql.near_dup_pairs_sql),
         "ann_cosine_topk": _sql_query(text_sql.ann_cosine_topk_sql),
+        "record_index": _q_record_index,
+        "events_hourly": _q_events_hourly,
         "conditions_events": _q_conditions_events,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "simhash_dedup": _q_simhash_dedup,
@@ -285,6 +317,27 @@ def oracle_sql() -> dict[str, str]:
         "minhash_bands": text_sql.minhash_bands_sql("duckdb"),
         "near_dup_pairs": text_sql.near_dup_pairs_sql("duckdb"),
         "ann_cosine_topk": text_sql.ann_cosine_topk_sql("duckdb"),
+        "record_index": f"""
+            SELECT source,
+                   CAST(max(record_index) AS BIGINT) AS n_records,
+                   CAST(sum(record_index) AS BIGINT) AS index_checksum
+            FROM (
+              SELECT source,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                       AS record_index
+              FROM {_TOK}
+            )
+            GROUP BY source
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour,
+                   event_type,
+                   count(*) AS n_events,
+                   round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value
+            FROM events
+            GROUP BY date_trunc('hour', ts), event_type
+        """,
         "conditions_events": """
             SELECT event_type,
                    count(*) AS n_events,
