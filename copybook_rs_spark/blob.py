@@ -56,14 +56,20 @@ _U32 = struct.Struct("<I")
 
 
 def _encode_doc_bytes(doc_bytes: bytes) -> bytes:
-    """FSST-or-raw doc-id byte stream, smaller wins (deterministic)."""
+    """Multi-pass-FSST-or-raw doc-id byte stream, smaller wins.
+
+    Encoded form: 0x01 passes:u8 len_0..len_passes:u32 tables codes."""
     if len(doc_bytes) >= 64:
         data = np.frombuffer(doc_bytes, dtype=np.uint8)
-        table = fsst_mod.train(data)
-        codes = fsst_mod.compress(data, table)
-        enc = _U32.pack(len(codes)) + table.serialize() + codes
-        if 1 + len(enc) < 1 + len(doc_bytes):
-            return b"\x01" + enc
+        tables, streams = fsst_mod.compress_multi(data)
+        if tables:
+            parts = [b"\x01", bytes([len(tables)])]
+            parts.extend(_U32.pack(len(s)) for s in streams)
+            parts.extend(t.serialize() for t in tables)
+            parts.append(streams[-1].tobytes())
+            enc = b"".join(parts)
+            if len(enc) < 1 + len(doc_bytes):
+                return enc
     return b"\x00" + doc_bytes
 
 
@@ -76,15 +82,27 @@ def _decode_doc_bytes(buf: memoryview, out_len: int) -> bytes:
         return bytes(body)
     if enc != 1:
         raise HeaderInvalidError(f"unknown doc-bytes encoding {enc}")
-    if len(body) < 4:
+    if len(body) < 1:
         raise TruncatedBlobError("fsst doc-bytes header truncated")
-    (codes_len,) = _U32.unpack_from(body)
-    table, used = fsst_mod.SymbolTable.deserialize(body[4:])
-    off = 4 + used
-    if len(body) < off + codes_len:
+    passes = body[0]
+    if passes == 0 or passes > 8:
+        raise HeaderInvalidError(f"fsst doc-bytes passes {passes}")
+    off = 1
+    if len(body) < off + 4 * (passes + 1):
+        raise TruncatedBlobError("fsst doc-bytes lengths truncated")
+    lens = [_U32.unpack_from(body, off + 4 * i)[0] for i in range(passes + 1)]
+    off += 4 * (passes + 1)
+    if lens[0] != out_len:
+        raise CountMismatchError("fsst doc-bytes length mismatch")
+    tables = []
+    for _ in range(passes):
+        table, used = fsst_mod.SymbolTable.deserialize(body[off:])
+        tables.append(table)
+        off += used
+    if len(body) < off + lens[-1]:
         raise TruncatedBlobError("fsst doc-bytes codes truncated")
-    codes = np.frombuffer(body, dtype=np.uint8, count=codes_len, offset=off)
-    return fsst_mod.decompress(codes, table, out_len).tobytes()
+    final = np.frombuffer(body, dtype=np.uint8, count=lens[-1], offset=off)
+    return fsst_mod.decompress_multi(final, tables, lens).tobytes()
 
 
 def encode_chunk(

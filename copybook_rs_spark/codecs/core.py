@@ -253,21 +253,29 @@ def _encode_dict(vals: np.ndarray, depth: int, stats: ChunkStats | None = None) 
     )
 
 
+_FSST_MAX_PASSES = 3
+
+
 def _encode_fsst(vals: np.ndarray) -> bytes:
+    """Multi-pass FSST: each pass compresses the previous code stream with
+    a freshly trained table (pairs-of-pairs => effective 4/8-byte symbols,
+    the cheap stand-in for the paper's long symbols). Passes stack while
+    they keep shrinking the stream by >=4%.
+
+    body := n:u32 passes:u8 len_0:u32 .. len_passes:u32
+            table_1 .. table_passes  codes[len_passes]
+    (len_i = byte length of stream i; stream 0 is the varint-zigzag bytes.)
+    """
     v = np.ascontiguousarray(vals, dtype=np.int64)
     n = len(v)
     stream = np.frombuffer(vi.varint_encode(vi.zigzag_encode(v)), dtype=np.uint8)
-    table = fsst_mod.train(stream)
-    codes = fsst_mod.compress(stream, table)
-    tbl = table.serialize()
-    return (
-        bytes([CODEC_FSST])
-        + _U32.pack(n)
-        + _U32.pack(len(stream))
-        + tbl
-        + _U32.pack(len(codes))
-        + codes
-    )
+    tables, streams = fsst_mod.compress_multi(stream, _FSST_MAX_PASSES)
+    out = [bytes([CODEC_FSST]), _U32.pack(n), bytes([len(tables)])]
+    for s in streams:
+        out.append(_U32.pack(len(s)))
+    out.extend(t.serialize() for t in tables)
+    out.append(streams[-1].tobytes())
+    return b"".join(out)
 
 
 def _encode_named(name: str, v: np.ndarray, stats: ChunkStats | None, depth: int) -> bytes:
@@ -488,17 +496,26 @@ def decode_array(payload: bytes | memoryview) -> np.ndarray:
             raise PayloadCorruptError("dict: index out of range")
         return uniq[idx]
     if cid == CODEC_FSST:
-        _need(body, 8, "fsst header")
+        _need(body, 5, "fsst header")
         (n,) = _U32.unpack_from(body, 0)
-        (nbytes,) = _U32.unpack_from(body, 4)
-        table, used = fsst_mod.SymbolTable.deserialize(body[8:])
-        off = 8 + used
-        _need(body, off + 4, "fsst enc_len")
-        (enc_len,) = _U32.unpack_from(body, off)
-        off += 4
-        _need(body, off + enc_len, "fsst codes")
-        codes = np.frombuffer(body, dtype=np.uint8, count=enc_len, offset=off)
-        stream = fsst_mod.decompress(codes, table, nbytes)
+        passes = body[4]
+        if passes > _FSST_MAX_PASSES:
+            raise PayloadCorruptError(f"fsst passes {passes}")
+        off = 5
+        _need(body, off + 4 * (passes + 1), "fsst lengths")
+        lens = [
+            _U32.unpack_from(body, off + 4 * i)[0] for i in range(passes + 1)
+        ]
+        off += 4 * (passes + 1)
+        tables = []
+        for _ in range(passes):
+            table, used = fsst_mod.SymbolTable.deserialize(body[off:])
+            tables.append(table)
+            off += used
+        _need(body, off + lens[-1], "fsst codes")
+        stream = np.frombuffer(body, dtype=np.uint8, count=lens[-1], offset=off)
+        for p in range(passes - 1, -1, -1):
+            stream = fsst_mod.decompress(stream, tables[p], lens[p])
         u = vi.varint_decode(stream.tobytes(), n)
         return vi.zigzag_decode(u)
     raise UnknownCodecError(f"unknown codec id {cid}")

@@ -85,34 +85,73 @@ class SymbolTable:
         return cls(sym_len, sym_b0, sym_b1), MAX_CODES + total
 
 
-def train(data: np.ndarray) -> SymbolTable:
-    """Single-pass frequency training over a bounded prefix sample."""
-    sample = data[:_TRAIN_SAMPLE]
+def _build_table(pairs: np.ndarray, singles: np.ndarray) -> SymbolTable:
     sym_len = np.zeros(256, dtype=np.uint8)
     sym_b0 = np.zeros(256, dtype=np.uint8)
     sym_b1 = np.zeros(256, dtype=np.uint8)
-    n_pairs = 0
+    n_pairs = len(pairs)
+    codes = np.arange(n_pairs)
+    sym_len[codes] = 2
+    sym_b0[codes] = (pairs >> 8).astype(np.uint8)
+    sym_b1[codes] = (pairs & 0xFF).astype(np.uint8)
+    codes = np.arange(n_pairs, n_pairs + len(singles))
+    sym_len[codes] = 1
+    sym_b0[codes] = singles.astype(np.uint8)
+    return SymbolTable(sym_len, sym_b0, sym_b1)
+
+
+def train(data: np.ndarray) -> SymbolTable:
+    """Single-pass frequency training over a bounded prefix sample.
+
+    Longer effective symbols come from stacking passes (compress the code
+    stream with a freshly trained table — pairs-of-pairs give 4-byte
+    symbols), which the caller controls; see codecs/core.py _encode_fsst."""
+    sample = data[:_TRAIN_SAMPLE]
+    if len(sample) == 0:
+        return _build_table(np.empty(0, np.uint16), np.empty(0, np.uint8))
+    bk, bc = np.unique(sample, return_counts=True)
+    singles_order = bk[np.lexsort((bk, -bc))]
+    pk = np.empty(0, np.uint16)
     if len(sample) >= 2:
         keys = sample[:-1].astype(np.uint16) * 256 + sample[1:]
         pk, pc = np.unique(keys, return_counts=True)
         good = pc >= _MIN_PAIR_FREQ
         pk, pc = pk[good], pc[good]
-        # deterministic: by (-count, key)
-        order = np.lexsort((pk, -pc))[:_MAX_PAIRS]
-        chosen = pk[order]
-        n_pairs = len(chosen)
-        codes = np.arange(n_pairs)
-        sym_len[codes] = 2
-        sym_b0[codes] = (chosen >> 8).astype(np.uint8)
-        sym_b1[codes] = (chosen & 0xFF).astype(np.uint8)
-    if len(sample):
-        bk, bc = np.unique(sample, return_counts=True)
-        order = np.lexsort((bk, -bc))[: MAX_CODES - n_pairs]
-        chosen_b = bk[order]
-        codes = np.arange(n_pairs, n_pairs + len(chosen_b))
-        sym_len[codes] = 1
-        sym_b0[codes] = chosen_b
-    return SymbolTable(sym_len, sym_b0, sym_b1)
+        order = np.lexsort((pk, -pc))[:_MAX_PAIRS]  # by (-count, key)
+        pk = pk[order]
+    singles = singles_order[: MAX_CODES - len(pk)]
+    return _build_table(pk, singles)
+
+
+def compress_multi(
+    data: np.ndarray, max_passes: int = 3, min_gain: float = 0.96
+) -> tuple[list["SymbolTable"], list[np.ndarray]]:
+    """Stack compression passes while each shrinks the stream enough to pay
+    for its table (pairs-of-pairs => effective 4/8-byte symbols).
+    Returns (tables, streams) with streams[0] = input, streams[-1] = final."""
+    streams = [data]
+    tables: list[SymbolTable] = []
+    for _ in range(max_passes):
+        cur = streams[-1]
+        if len(cur) < 16:
+            break
+        table = train(cur)
+        nxt = np.frombuffer(compress(cur, table), dtype=np.uint8)
+        if len(nxt) + len(table.serialize()) > min_gain * len(cur):
+            break
+        streams.append(nxt)
+        tables.append(table)
+    return tables, streams
+
+
+def decompress_multi(
+    final: np.ndarray, tables: list["SymbolTable"], lens: list[int]
+) -> np.ndarray:
+    """Inverse of compress_multi: lens[i] = byte length of stream i."""
+    stream = final
+    for p in range(len(tables) - 1, -1, -1):
+        stream = decompress(stream, tables[p], lens[p])
+    return stream
 
 
 def _ffill_run_starts(flags: np.ndarray) -> np.ndarray:
