@@ -18,9 +18,15 @@ Layout for n values of width w (little-endian):
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 
 from copybook_rs_spark.errors import TruncatedBlobError, ValueOverflowError
+
+# byte-lane views of uint64 arrays (plane i == byte i of each value) assume a
+# little-endian host; the shift-based fallback keeps big-endian correct
+_LE = sys.byteorder == "little"
 
 
 def bit_width(max_value: int) -> int:
@@ -48,8 +54,15 @@ def pack(vals: np.ndarray, width: int) -> bytes:
     v = np.ascontiguousarray(vals, dtype=np.uint64)
     k, r = divmod(width, 8)
     parts: list[bytes] = []
-    for i in range(k):
-        parts.append(((v >> np.uint64(8 * i)) & np.uint64(0xFF)).astype(np.uint8).tobytes())
+    if k:
+        if _LE:
+            vb = v.view(np.uint8).reshape(n, 8)
+            parts.extend(np.ascontiguousarray(vb[:, i]).tobytes() for i in range(k))
+        else:
+            parts.extend(
+                ((v >> np.uint64(8 * i)) & np.uint64(0xFF)).astype(np.uint8).tobytes()
+                for i in range(k)
+            )
     if r:
         hi = v >> np.uint64(8 * k)  # < 2**r
         pad = (-n) % 8
@@ -77,17 +90,25 @@ def unpack(buf: bytes | memoryview, n: int, width: int) -> np.ndarray:
     raw = np.frombuffer(buf, dtype=np.uint8, count=need)
     k, r = divmod(width, 8)
     out = np.zeros(n, dtype=np.uint64)
+    ov = out.view(np.uint8).reshape(n, 8) if _LE else None
     for i in range(k):
-        out |= raw[i * n : (i + 1) * n].astype(np.uint64) << np.uint64(8 * i)
+        if ov is not None:
+            ov[:, i] = raw[i * n : (i + 1) * n]
+        else:
+            out |= raw[i * n : (i + 1) * n].astype(np.uint64) << np.uint64(8 * i)
     if r:
         nb = (n + 7) // 8
         tail = raw[k * n : k * n + nb * r].reshape(nb, r)
         words = np.zeros((nb, 8), dtype=np.uint8)
         words[:, :r] = tail
-        w64 = words.reshape(-1).view("<u8").astype(np.uint64)
+        w64 = words.reshape(-1).view("<u8")
         mask = np.uint64((1 << r) - 1)
-        hi = np.empty(nb * 8, dtype=np.uint64)
-        for i in range(8):
-            hi[i::8] = (w64 >> np.uint64(r * i)) & mask
-        out |= hi[:n] << np.uint64(8 * k)
+        shifts = np.uint64(r) * np.arange(8, dtype=np.uint64)
+        # one broadcast extract: (nb, 8) lanes in C order == value order
+        hi = (w64[:, None] >> shifts[None, :]) & mask
+        if ov is not None:
+            # r < 8 so each lane fits one byte: write straight into byte k
+            ov[:, k] = hi.astype(np.uint8).reshape(-1)[:n]
+        else:
+            out |= hi.reshape(-1)[:n] << np.uint64(8 * k)
     return out

@@ -21,6 +21,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     BinaryType,
@@ -238,21 +239,25 @@ def make_encode_kernel(cfg: EncodeConfig):
                 continue
             src_col = batch.column("source")
             pid = batch.column("part_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            src = np.asarray(src_col.to_pylist(), dtype=object)
             dl_all, db_all = _string_parts(batch.column("doc_id"))
             tl_all, tv_all = _list_parts(batch.column("tokens"))
             cum_v = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(tl_all, out=cum_v[1:])
             cum_d = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(dl_all, out=cum_d[1:])
-            # group boundaries within the (sorted) batch
-            change = np.flatnonzero(
-                (src[1:] != src[:-1]) | (pid[1:] != pid[:-1])
-            )
+            # group boundaries within the (sorted) batch — Arrow-side slice
+            # compare, no per-row Python string materialization
+            if n > 1:
+                src_same = np.asarray(
+                    pc.equal(src_col.slice(1), src_col.slice(0, n - 1))
+                )
+                change = np.flatnonzero(~src_same | (pid[1:] != pid[:-1]))
+            else:
+                change = np.empty(0, dtype=np.int64)
             seg_starts = np.concatenate(([0], change + 1))
             seg_ends = np.concatenate((change + 1, [n]))
             for i0, i1 in zip(seg_starts, seg_ends):
-                key = (str(src[i0]), int(pid[i0]))
+                key = (src_col[int(i0)].as_py(), int(pid[i0]))
                 if current is None or (current.source, current.part_id) != key:
                     if current is not None:
                         out_rows.extend(current.flush(cfg, force=True))
