@@ -18,10 +18,14 @@ Layout (little-endian):
   doc_id section:
     dl_len  : u32 byte length of the doc-id-lengths payload
     payload (doc_id byte lengths, int payload grammar)
-    enc     : u8  0 = raw, 1 = FSST (whichever is smaller; ids share heavy
-                  structure, FSST typically halves them)
+    enc     : u8  0 = raw, 1 = FSST, 2 = front-coded (smallest wins; ids are
+                  sorted within a chunk, so consecutive ids share long
+                  prefixes — front-coding then FSST on the suffix stream)
     raw concatenated UTF-8 doc_id bytes            (enc == 0)
     | codes_len:u32 fsst-table fsst-codes          (enc == 1)
+    | lcp_len:u32 lcp-payload inner                (enc == 2; lcp = prefix
+      length shared with the previous id, int payload grammar; inner = the
+      enc-0/1 structure over the concatenated suffix bytes)
   lengths section: int payload (n_tok per document)
   values section : int payload (all token values, document-major)
 
@@ -45,6 +49,7 @@ from copybook_rs_spark.errors import (
     CountMismatchError,
     CrcMismatchError,
     HeaderInvalidError,
+    PayloadCorruptError,
     TruncatedBlobError,
 )
 
@@ -73,13 +78,111 @@ def _encode_doc_bytes(doc_bytes: bytes) -> bytes:
     return b"\x00" + doc_bytes
 
 
-def _decode_doc_bytes(buf: memoryview, out_len: int) -> bytes:
+def _front_code(doc_bytes: bytes, doc_lens: np.ndarray) -> tuple[np.ndarray, bytes]:
+    """(lcp int64 array, concatenated suffix bytes) — lcp[i] = bytes shared
+    with id i-1 (lcp[0] = 0). Vectorized via a padded 2D byte matrix."""
+    n = len(doc_lens)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), b""
+    data = np.frombuffer(doc_bytes, dtype=np.uint8)
+    lens = np.ascontiguousarray(doc_lens, dtype=np.int64)
+    maxlen = int(lens.max()) if n else 0
+    if maxlen == 0:
+        return np.zeros(n, dtype=np.int64), b""
+    cols = np.arange(maxlen)
+    mask = cols < lens[:, None]
+    pad = np.zeros((n, maxlen), dtype=np.uint8)
+    pad[mask] = data  # row-major fill == concatenation order
+    if n > 1:
+        neq = pad[1:] != pad[:-1]
+        has = neq.any(axis=1)
+        first = np.where(has, neq.argmax(axis=1), maxlen)
+        lcp_rest = np.minimum(first, np.minimum(lens[1:], lens[:-1]))
+    else:
+        lcp_rest = np.zeros(0, dtype=np.int64)
+    lcp = np.concatenate(([0], lcp_rest)).astype(np.int64)
+    suf_mask = (cols >= lcp[:, None]) & mask
+    return lcp, pad[suf_mask].tobytes()
+
+
+def _front_decode(
+    lcp: np.ndarray, doc_lens: np.ndarray, suf_stream: bytes
+) -> bytes:
+    """Inverse of _front_code — vectorized, no sequential string rebuild.
+
+    Byte p of id i comes from the suffix of the latest row j <= i with
+    lcp[j] <= p (all rows in between copied position p forward), at suffix
+    offset p - lcp[j]. Per column p that provider is a running maximum over
+    eligible row indices — O(maxlen) vector passes, no per-row Python."""
+    n = len(doc_lens)
+    lens = np.ascontiguousarray(doc_lens, dtype=np.int64)
+    lcp = np.ascontiguousarray(lcp, dtype=np.int64)
+    if len(lcp) != n:
+        raise CountMismatchError("front-code lcp count != n_rows")
+    if n == 0:
+        if suf_stream:
+            raise CountMismatchError("front-code suffix bytes for zero rows")
+        return b""
+    if int(lcp[0]) != 0:
+        raise PayloadCorruptError("front-code lcp[0] != 0")
+    if (lcp < 0).any() or (lcp > lens).any() or (n > 1 and (lcp[1:] > lens[:-1]).any()):
+        raise PayloadCorruptError("front-code lcp out of range")
+    suf_lens = lens - lcp
+    expected = int(suf_lens.sum())
+    if expected != len(suf_stream):
+        raise CountMismatchError("front-code suffix stream length mismatch")
+    suf = np.frombuffer(suf_stream, dtype=np.uint8)
+    suf_offs = np.zeros(n, dtype=np.int64)
+    np.cumsum(suf_lens[:-1], out=suf_offs[1:])
+    maxlen = int(lens.max())
+    out = np.zeros((n, maxlen), dtype=np.uint8)
+    rows = np.arange(n, dtype=np.int64)
+    for p in range(maxlen):
+        prov = np.maximum.accumulate(np.where(lcp <= p, rows, -1))
+        valid = p < lens  # guarantees prov >= 0 and index in range (see above)
+        gi = suf_offs[prov] + (p - lcp[prov])
+        np.clip(gi, 0, max(len(suf) - 1, 0), out=gi)
+        if len(suf):
+            out[valid, p] = suf[gi][valid]
+    return out[np.arange(maxlen) < lens[:, None]].tobytes()
+
+
+def _encode_doc_section(doc_bytes: bytes, doc_lens: np.ndarray) -> bytes:
+    """Best of raw / front-coded(+FSST inner). Front-coding with an all-zero
+    lcp degenerates to the plain stream plus a ~20-byte lcp payload, so the
+    inner FSST try subsumes the old direct-FSST candidate."""
+    raw = b"\x00" + doc_bytes
+    n = len(doc_lens)
+    if n == 0 or len(doc_bytes) < 64:
+        return raw
+    lcp, suf = _front_code(doc_bytes, doc_lens)
+    lcp_payload, _ = core.encode_array(lcp, codec="auto")
+    inner = _encode_doc_bytes(suf)
+    fc = b"\x02" + _U32.pack(len(lcp_payload)) + lcp_payload + inner
+    return fc if len(fc) < len(raw) else raw
+
+
+def _decode_doc_bytes(
+    buf: memoryview, out_len: int, doc_lens: np.ndarray | None = None
+) -> bytes:
     if len(buf) < 1:
         raise HeaderInvalidError("doc-bytes encoding flag missing")
     enc = buf[0]
     body = buf[1:]
     if enc == 0:
         return bytes(body)
+    if enc == 2:
+        if doc_lens is None:
+            raise HeaderInvalidError("front-coded doc bytes need doc_lens")
+        if len(body) < 4:
+            raise TruncatedBlobError("front-code lcp length truncated")
+        (lcp_len,) = _U32.unpack_from(body)
+        if len(body) < 4 + lcp_len:
+            raise TruncatedBlobError("front-code lcp payload truncated")
+        lcp = core.decode_array(body[4 : 4 + lcp_len])
+        suf_expected = int((np.asarray(doc_lens, dtype=np.int64) - lcp).sum()) if len(lcp) == len(doc_lens) else -1
+        suf = _decode_doc_bytes(body[4 + lcp_len :], max(suf_expected, 0))
+        return _front_decode(lcp, doc_lens, suf)
     if enc != 1:
         raise HeaderInvalidError(f"unknown doc-bytes encoding {enc}")
     if len(body) < 1:
@@ -126,7 +229,7 @@ def encode_chunk(
     val_payload, vcodec = core.encode_array(values, codec=codec, stats=stats)
     len_payload, _ = core.encode_array(lengths, codec="auto")
     dl_payload, _ = core.encode_array(doc_lens, codec="auto")
-    doc_enc = _encode_doc_bytes(doc_bytes)
+    doc_enc = _encode_doc_section(doc_bytes, doc_lens)
     doc_sec = _U32.pack(len(dl_payload)) + dl_payload + doc_enc
     body = doc_sec + len_payload + val_payload
     crc = zlib.crc32(body) & 0xFFFFFFFF
@@ -177,7 +280,7 @@ def decode_chunk(blob: bytes | memoryview) -> tuple[bytes, np.ndarray, np.ndarra
     if len(doc_lens) != n_rows:
         raise CountMismatchError("doc_lens count != n_rows")
     expected_doc_len = int(doc_lens.sum()) if n_rows else 0
-    doc_bytes = _decode_doc_bytes(doc_sec[4 + dl_len :], expected_doc_len)
+    doc_bytes = _decode_doc_bytes(doc_sec[4 + dl_len :], expected_doc_len, doc_lens)
     if len(doc_bytes) != expected_doc_len:
         raise CountMismatchError("doc_id bytes length mismatch")
     lengths = core.decode_array(body[sd : sd + sl])

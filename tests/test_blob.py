@@ -98,3 +98,77 @@ def test_error_codes_stable():
         blob.decode_chunk(b"nope")
     except BlobFormatError as e:
         assert str(e).startswith("CBSP104")
+
+
+# ---------------------------------------------------------------- front-coding
+
+def test_front_code_roundtrip_sorted_ids():
+    ids = sorted(f"doc_{i // 7}_{i % 5}_{i * 13 % 997}_{i}" for i in range(3000))
+    db = "".join(ids).encode()
+    dl = np.array([len(s.encode()) for s in ids], dtype=np.int64)
+    lcp, suf = blob._front_code(db, dl)
+    assert blob._front_decode(lcp, dl, suf) == db
+    # sorted ids share long prefixes: the suffix stream must be much smaller
+    assert len(suf) < 0.8 * len(db)
+
+
+def test_front_code_property_random():
+    rng = np.random.default_rng(11)
+    for _ in range(150):
+        k = int(rng.integers(1, 40))
+        ids = sorted(
+            "".join(chr(97 + c) for c in rng.integers(0, 4, rng.integers(0, 12)))
+            for _ in range(k)
+        )
+        db = "".join(ids).encode()
+        dl = np.array([len(s.encode()) for s in ids], dtype=np.int64)
+        lcp, suf = blob._front_code(db, dl)
+        assert blob._front_decode(lcp, dl, suf) == db
+
+
+def test_front_code_edges():
+    cases = [
+        [],
+        [""],
+        ["", ""],
+        ["a"],
+        ["", "a", "a", "ab", "abc", "abc", "b"],
+        ["a" * (i % 50 + 1) for i in range(200)],  # prefix chains
+        [f"документ-{i:05d}-β" for i in range(100)],  # multi-byte utf-8
+    ]
+    for ids in cases:
+        db = "".join(ids).encode()
+        dl = np.array([len(s.encode()) for s in ids], dtype=np.int64)
+        lcp, suf = blob._front_code(db, dl)
+        assert blob._front_decode(lcp, dl, suf) == db
+
+
+def test_front_coded_chunk_smaller_and_bit_identical():
+    # realistic sorted ids through the full chunk path
+    ids = sorted(f"src_a/{i // 9:06d}/{i:08d}" for i in range(2000))
+    db = "".join(ids).encode()
+    dl = np.array([len(s) for s in ids], dtype=np.int64)
+    tl = np.full(2000, 16, dtype=np.int64)
+    tv = RNG.integers(0, 50257, 32000).astype(np.int64)
+    b, _ = blob.encode_chunk(db, dl, tl, tv)
+    odb, odl, otl, otv = blob.decode_chunk(b)
+    assert odb == db
+    np.testing.assert_array_equal(odl, dl)
+    assert b[blob.HEADER_LEN + 4 + int(blob._U32.unpack_from(b, blob.HEADER_LEN)[0])] == 2  # enc flag: front-coded won
+
+
+def test_front_code_corrupt_lcp_detected():
+    ids = sorted(f"doc_{i:06d}" for i in range(100))
+    db = "".join(ids).encode()
+    dl = np.array([len(s) for s in ids], dtype=np.int64)
+    lcp, suf = blob._front_code(db, dl)
+    bad = lcp.copy()
+    bad[0] = 3  # lcp[0] must be 0
+    with pytest.raises(EngineError):
+        blob._front_decode(bad, dl, suf)
+    bad = lcp.copy()
+    bad[5] = dl[5] + 1  # exceeds own length
+    with pytest.raises(EngineError):
+        blob._front_decode(bad, dl, suf)
+    with pytest.raises(EngineError):
+        blob._front_decode(lcp, dl, suf + b"x")  # stream length mismatch
