@@ -66,3 +66,12 @@ class CountMismatchError(CodecError):
 
 class PayloadCorruptError(CodecError):
     code = "CBSP204"
+
+
+class PipelineContractError(EngineError):
+    """Input violates a pipeline contract — e.g. the pregrouped encode fast
+    path fed input whose (source, part_id) groups are split, interleaved, or
+    not sorted by doc_id. Raised instead of silently producing chunk content
+    that differs from the canonical (exchange-path) encoding."""
+
+    code = "CBSP300"

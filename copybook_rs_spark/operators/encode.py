@@ -34,7 +34,7 @@ from pyspark.sql.types import (
 
 from copybook_rs_spark import blob
 from copybook_rs_spark.config import EncodeConfig
-from copybook_rs_spark.errors import CodecError
+from copybook_rs_spark.errors import CodecError, PipelineContractError
 from copybook_rs_spark.plans.partition import (
     plan_salts,
     repartition_for_encode,
@@ -219,13 +219,21 @@ class _GroupBuffer:
         return row
 
 
-def make_encode_kernel(cfg: EncodeConfig):
+def make_encode_kernel(cfg: EncodeConfig, verify_grouping: bool = False):
     """Arrow kernel: Iterator[RecordBatch] -> Iterator[RecordBatch] of chunk
-    rows. Rows arrive sorted by (source, part_id, doc_id)."""
+    rows. Rows arrive sorted by (source, part_id, doc_id).
+
+    verify_grouping=True (the pregrouped fast path, where no Spark exchange
+    guarantees the layout) additionally asserts the contract inside this
+    partition: a (source, part_id) group never reappears after closing, and
+    doc_ids are non-decreasing within a group — violations raise CBSP300
+    instead of silently emitting non-canonical chunks."""
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         current: _GroupBuffer | None = None
         out_rows: list[dict] = []
+        closed: set[tuple] = set()
+        last_doc: str | None = None
 
         def drain():
             nonlocal out_rows
@@ -256,12 +264,41 @@ def make_encode_kernel(cfg: EncodeConfig):
                 change = np.empty(0, dtype=np.int64)
             seg_starts = np.concatenate(([0], change + 1))
             seg_ends = np.concatenate((change + 1, [n]))
+            if verify_grouping and n > 1:
+                doc_col = batch.column("doc_id")
+                doc_ok = np.asarray(
+                    pc.less_equal(doc_col.slice(0, n - 1), doc_col.slice(1))
+                )
+                bad = ~doc_ok
+                bad[change] = False  # order resets at group boundaries
+                if bad.any():
+                    raise PipelineContractError(
+                        "pregrouped encode: doc_id not sorted within group"
+                    )
             for i0, i1 in zip(seg_starts, seg_ends):
                 key = (src_col[int(i0)].as_py(), int(pid[i0]))
                 if current is None or (current.source, current.part_id) != key:
                     if current is not None:
                         out_rows.extend(current.flush(cfg, force=True))
+                        if verify_grouping:
+                            closed.add((current.source, current.part_id))
+                    if verify_grouping:
+                        if key in closed:
+                            raise PipelineContractError(
+                                f"pregrouped encode: group {key} reappears "
+                                "after closing (input not grouped)"
+                            )
+                        last_doc = None
                     current = _GroupBuffer(*key)
+                elif verify_grouping and last_doc is not None:
+                    first = batch.column("doc_id")[int(i0)].as_py()
+                    if first < last_doc:
+                        raise PipelineContractError(
+                            "pregrouped encode: doc_id order broken across "
+                            f"batches in group {key}"
+                        )
+                if verify_grouping:
+                    last_doc = batch.column("doc_id")[int(i1 - 1)].as_py()
                 current.add(
                     db_all[cum_d[i0] : cum_d[i1]],
                     dl_all[i0:i1],
@@ -277,17 +314,17 @@ def make_encode_kernel(cfg: EncodeConfig):
     return kernel
 
 
-def encode_tokens(
+def prepare_grouped(
     df: DataFrame,
     cfg: EncodeConfig | None = None,
     salts: dict[str, int] | None = None,
 ) -> DataFrame:
-    """Token table (doc_id, tokens, n_tok, source) -> chunk-blob table.
-
-    Lazy: returns the chunk DataFrame; callers write it to parquet/Iceberg
-    (atomic job commit is Spark-native — the temp-file+rename analogue,
-    reference crates/copybook-cli/src/commands/decode.rs:145-156).
-    """
+    """Salt + co-locate + sort the token table into the encode layout
+    (adds part_id). Write this ONCE — e.g. bucketed/sorted by
+    (source, part_id) — and every later encode over it can use
+    ``encode_tokens(..., pregrouped=True)`` to skip the exchange entirely.
+    part_id = pmod(xxhash64(doc_id), S(source)) is a pure function of the
+    data, so the stored layout stays valid at any cluster size."""
     cfg = cfg or EncodeConfig()
     if salts is None:
         salts = plan_salts(
@@ -297,5 +334,38 @@ def encode_tokens(
     num_parts = cfg.shuffle_partitions or max(
         sum(salts.values()), df.sparkSession.sparkContext.defaultParallelism
     )
-    prepared = repartition_for_encode(with_part_id(df, salts), num_parts)
+    return repartition_for_encode(with_part_id(df, salts), num_parts)
+
+
+def encode_tokens(
+    df: DataFrame,
+    cfg: EncodeConfig | None = None,
+    salts: dict[str, int] | None = None,
+    pregrouped: bool = False,
+) -> DataFrame:
+    """Token table (doc_id, tokens, n_tok, source) -> chunk-blob table.
+
+    Lazy: returns the chunk DataFrame; callers write it to parquet/Iceberg
+    (atomic job commit is Spark-native — the temp-file+rename analogue,
+    reference crates/copybook-cli/src/commands/decode.rs:145-156).
+
+    pregrouped=True skips the salt pre-pass and the shuffle: df must already
+    carry part_id with every (source, part_id) group contiguous inside one
+    partition and sorted by doc_id — the layout ``prepare_grouped`` produces
+    (typically persisted bucketed/sorted). At 100 TB this removes the single
+    largest data movement; the kernel enforces the contract per partition
+    (CBSP300 on violation) and chunk content is byte-identical to the
+    exchange path because chunks are a pure function of group content.
+    """
+    cfg = cfg or EncodeConfig()
+    if pregrouped:
+        if "part_id" not in df.columns:
+            raise PipelineContractError(
+                "pregrouped encode requires a part_id column "
+                "(use prepare_grouped first)"
+            )
+        return df.mapInArrow(
+            make_encode_kernel(cfg, verify_grouping=True), CHUNK_SCHEMA
+        )
+    prepared = prepare_grouped(df, cfg, salts)
     return prepared.mapInArrow(make_encode_kernel(cfg), CHUNK_SCHEMA)

@@ -18,6 +18,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from copybook_rs_spark.errors import PipelineContractError
+
 
 def build_manifest(chunk_df: DataFrame) -> DataFrame:
     """Chunk table -> manifest: lineage + metrics per (source, part_id)."""
@@ -45,9 +47,17 @@ def write_encoded(
     manifest_path = os.path.join(out_dir, "manifest")
     chunk_df.write.mode(mode).partitionBy("source").parquet(chunks_path)
     spark = chunk_df.sparkSession
-    build_manifest(spark.read.parquet(chunks_path)).write.mode(mode).parquet(
-        manifest_path
-    )
+    written = spark.read.parquet(chunks_path)
+    # guard: a (source, part_id) group split across tasks (pregrouped-path
+    # misuse the per-task CBSP300 checks cannot see) surfaces as duplicate
+    # chunk_ids — cheap agg over pruned columns, blob column never read
+    dupes = written.groupBy("chunk_id").count().filter(F.col("count") > 1)
+    if dupes.limit(1).count():
+        raise PipelineContractError(
+            "duplicate chunk_ids in written output — a (source, part_id) "
+            "group was split across partitions (pregrouped contract broken)"
+        )
+    build_manifest(written).write.mode(mode).parquet(manifest_path)
 
 
 def read_chunks(spark: SparkSession, out_dir: str) -> DataFrame:

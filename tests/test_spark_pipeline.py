@@ -138,3 +138,39 @@ def test_decode_schema_matches_input(spark, tok_df):
     dec = decode_tokens(encode_tokens(tok_df, CFG))
     assert [f.name for f in dec.schema.fields] == ["doc_id", "tokens", "n_tok", "source"]
     assert dec.schema["tokens"].dataType.simpleString() == "array<int>"
+
+
+# ----------------------------------------------------- pregrouped fast path
+
+def test_pregrouped_encode_identical_chunks(spark, tok_df):
+    """Fast path (no exchange) must produce byte-identical chunk content to
+    the exchange path — chunks are a pure function of group content."""
+    from copybook_rs_spark.operators.encode import prepare_grouped
+
+    base = encode_tokens(tok_df, CFG)
+    a = sorted((r["chunk_id"], r["crc32"], r["enc_bytes"])
+               for r in base.select("chunk_id", "crc32", "enc_bytes").collect())
+    grouped = prepare_grouped(tok_df, CFG)
+    fast = encode_tokens(grouped, CFG, pregrouped=True)
+    b = sorted((r["chunk_id"], r["crc32"], r["enc_bytes"])
+               for r in fast.select("chunk_id", "crc32", "enc_bytes").collect())
+    assert a == b
+
+
+def test_pregrouped_contract_violation_raises(spark, tok_df):
+    """Ungrouped input through the fast path must raise CBSP300, never emit
+    non-canonical chunks silently."""
+    salts = plan_salts(tok_df, CFG.target_values_per_part, CFG.max_salt,
+                       chunk_floor=CFG.chunk_values)
+    # interleave groups within partitions and break doc order
+    bad = with_part_id(tok_df, salts).repartition(8)
+    with pytest.raises(Exception) as ei:
+        encode_tokens(bad, CFG, pregrouped=True).count()
+    assert "CBSP300" in str(ei.value)
+
+
+def test_pregrouped_requires_part_id(spark, tok_df):
+    from copybook_rs_spark.errors import PipelineContractError
+
+    with pytest.raises(PipelineContractError):
+        encode_tokens(tok_df, CFG, pregrouped=True)
