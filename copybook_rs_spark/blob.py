@@ -25,7 +25,11 @@ Layout (little-endian):
     | codes_len:u32 fsst-table fsst-codes          (enc == 1)
     | lcp_len:u32 lcp-payload inner                (enc == 2; lcp = prefix
       length shared with the previous id, int payload grammar; inner = the
-      enc-0/1 structure over the concatenated suffix bytes)
+      enc-0/1/3 structure over the concatenated suffix bytes)
+    | k:u8 w:u8 alphabet[k] packed                 (enc == 3; byte streams
+      over a <=16-byte alphabet — front-coded id suffixes are mostly digit
+      runs — nibble-packed against the sorted alphabet: ~the same ratio as
+      FSST on such streams at a fraction of the encode cost)
   lengths section: int payload (n_tok per document)
   values section : int payload (all token values, document-major)
 
@@ -41,6 +45,7 @@ import zlib
 
 import numpy as np
 
+from copybook_rs_spark.codecs import bitpack as bp
 from copybook_rs_spark.codecs import core
 from copybook_rs_spark.codecs import fsst as fsst_mod
 from copybook_rs_spark.errors import (
@@ -60,22 +65,71 @@ HEADER_LEN = _HEADER.size
 _U32 = struct.Struct("<I")
 
 
-def _encode_doc_bytes(doc_bytes: bytes) -> bytes:
-    """Multi-pass-FSST-or-raw doc-id byte stream, smaller wins.
+_PACK_ALPHABET_MAX = 16
 
-    Encoded form: 0x01 passes:u8 len_0..len_passes:u32 tables codes."""
+
+def _fsst_apply(
+    data: np.ndarray, tables: list
+) -> tuple[list, list[np.ndarray]]:
+    """Compress with an existing table stack (no training)."""
+    streams = [data]
+    kept = []
+    for t in tables:
+        nxt = np.frombuffer(fsst_mod.compress(streams[-1], t), dtype=np.uint8)
+        if len(nxt) + len(t.serialize()) > 0.96 * len(streams[-1]):
+            break
+        streams.append(nxt)
+        kept.append(t)
+    return kept, streams
+
+
+def _encode_doc_bytes(
+    doc_bytes: bytes, cached_tables: list | None = None
+) -> tuple[bytes, list | None]:
+    """Byte-stream section: raw / alphabet-pack / multi-pass FSST.
+
+    Deterministic try-both selection (the reference's try-encode-and-measure
+    stance): a <= 16-byte alphabet adds the nibble-pack candidate
+    (0x03 k:u8 w:u8 alphabet packed — ~free to build); FSST
+    (0x01 passes:u8 len_0..len_passes:u32 tables codes) is always tried at
+    >= 64 bytes. Strictly-smaller wins, raw never loses to a larger
+    encoding; the choice is a pure function of the bytes.
+
+    cached_tables: an FSST table stack trained on an earlier chunk of the
+    same data-deterministic group — reused to skip training (tables are
+    still serialized inside every blob, so decode stays self-contained and
+    chunk content stays a pure function of the group's data). Returns
+    (encoded, tables_used_or_None)."""
+    best = b"\x00" + doc_bytes
+    used: list | None = None
     if len(doc_bytes) >= 64:
         data = np.frombuffer(doc_bytes, dtype=np.uint8)
-        tables, streams = fsst_mod.compress_multi(data)
+        uniq = np.unique(data)
+        if len(uniq) <= _PACK_ALPHABET_MAX:
+            w = bp.bit_width(len(uniq) - 1)
+            idx = np.searchsorted(uniq, data).astype(np.uint64)
+            enc = (
+                b"\x03"
+                + bytes([len(uniq), w])
+                + uniq.tobytes()
+                + bp.pack(idx, w)
+            )
+            if len(enc) < len(best):
+                best = enc
+        if cached_tables:
+            tables, streams = _fsst_apply(data, cached_tables)
+        else:
+            tables, streams = fsst_mod.compress_multi(data)
         if tables:
             parts = [b"\x01", bytes([len(tables)])]
             parts.extend(_U32.pack(len(s)) for s in streams)
             parts.extend(t.serialize() for t in tables)
             parts.append(streams[-1].tobytes())
             enc = b"".join(parts)
-            if len(enc) < 1 + len(doc_bytes):
-                return enc
-    return b"\x00" + doc_bytes
+            if len(enc) < len(best):
+                best = enc
+                used = tables
+    return best, used
 
 
 def _front_code(doc_bytes: bytes, doc_lens: np.ndarray) -> tuple[np.ndarray, bytes]:
@@ -147,19 +201,22 @@ def _front_decode(
     return out[np.arange(maxlen) < lens[:, None]].tobytes()
 
 
-def _encode_doc_section(doc_bytes: bytes, doc_lens: np.ndarray) -> bytes:
+def _encode_doc_section(
+    doc_bytes: bytes, doc_lens: np.ndarray, cached_tables: list | None = None
+) -> tuple[bytes, list | None]:
     """Best of raw / front-coded(+FSST inner). Front-coding with an all-zero
     lcp degenerates to the plain stream plus a ~20-byte lcp payload, so the
-    inner FSST try subsumes the old direct-FSST candidate."""
+    inner FSST try subsumes the old direct-FSST candidate. Returns
+    (section, fsst_tables_used_or_None) — see _encode_doc_bytes."""
     raw = b"\x00" + doc_bytes
     n = len(doc_lens)
     if n == 0 or len(doc_bytes) < 64:
-        return raw
+        return raw, None
     lcp, suf = _front_code(doc_bytes, doc_lens)
     lcp_payload, _ = core.encode_array(lcp, codec="auto")
-    inner = _encode_doc_bytes(suf)
+    inner, used = _encode_doc_bytes(suf, cached_tables)
     fc = b"\x02" + _U32.pack(len(lcp_payload)) + lcp_payload + inner
-    return fc if len(fc) < len(raw) else raw
+    return (fc, used) if len(fc) < len(raw) else (raw, None)
 
 
 def _decode_doc_bytes(
@@ -183,6 +240,21 @@ def _decode_doc_bytes(
         suf_expected = int((np.asarray(doc_lens, dtype=np.int64) - lcp).sum()) if len(lcp) == len(doc_lens) else -1
         suf = _decode_doc_bytes(body[4 + lcp_len :], max(suf_expected, 0))
         return _front_decode(lcp, doc_lens, suf)
+    if enc == 3:
+        if len(body) < 2:
+            raise TruncatedBlobError("alphabet-pack header truncated")
+        k, w = body[0], body[1]
+        if k == 0 or k > _PACK_ALPHABET_MAX or w > 4:
+            raise HeaderInvalidError(f"alphabet-pack k={k} w={w}")
+        if len(body) < 2 + k:
+            raise TruncatedBlobError("alphabet-pack alphabet truncated")
+        alphabet = np.frombuffer(body, dtype=np.uint8, count=k, offset=2)
+        if w == 0:
+            return alphabet[:1].tobytes() * out_len
+        idx = bp.unpack(body[2 + k :], out_len, w)
+        if (idx >= k).any():
+            raise PayloadCorruptError("alphabet-pack index out of range")
+        return alphabet[idx].tobytes()
     if enc != 1:
         raise HeaderInvalidError(f"unknown doc-bytes encoding {enc}")
     if len(body) < 1:
@@ -214,9 +286,13 @@ def encode_chunk(
     lengths: np.ndarray,
     values: np.ndarray,
     codec: str = "auto",
+    doc_fsst_cache: list | None = None,
 ) -> tuple[bytes, dict]:
     """Build a chunk blob. Returns (blob, info) where info carries the chosen
-    values-codec name and the chunk statistics used for selection."""
+    values-codec name, the chunk statistics used for selection, and
+    info["doc_fsst_tables"] — the FSST stack used on the doc-id suffix
+    stream (pass it back as doc_fsst_cache for later chunks of the same
+    group to skip re-training; see _encode_doc_bytes)."""
     n_rows = len(doc_lens)
     if len(lengths) != n_rows:
         raise CountMismatchError("doc_lens and lengths disagree")
@@ -229,7 +305,7 @@ def encode_chunk(
     val_payload, vcodec = core.encode_array(values, codec=codec, stats=stats)
     len_payload, _ = core.encode_array(lengths, codec="auto")
     dl_payload, _ = core.encode_array(doc_lens, codec="auto")
-    doc_enc = _encode_doc_section(doc_bytes, doc_lens)
+    doc_enc, doc_tables = _encode_doc_section(doc_bytes, doc_lens, doc_fsst_cache)
     doc_sec = _U32.pack(len(dl_payload)) + dl_payload + doc_enc
     body = doc_sec + len_payload + val_payload
     crc = zlib.crc32(body) & 0xFFFFFFFF
@@ -244,7 +320,12 @@ def encode_chunk(
         len(len_payload),
         len(val_payload),
     )
-    info = {"codec": vcodec, "stats": stats, "crc32": crc}
+    info = {
+        "codec": vcodec,
+        "stats": stats,
+        "crc32": crc,
+        "doc_fsst_tables": doc_tables,
+    }
     return header + body, info
 
 

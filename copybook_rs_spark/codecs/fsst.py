@@ -1,18 +1,20 @@
-"""FSST-style symbol-table compression over byte streams — pure numpy.
+"""FSST symbol-table compression over byte streams — pure numpy.
 
-A simplified Fast Static Symbol Table (Boncz, Neumann, Leis — VLDB 2020)
-restricted to symbols of length 1 and 2: codes 0..254 map to trained symbols,
-code 255 is an escape marker followed by one literal byte. Training is a
-single frequency pass over a bounded sample, so the table is a deterministic
-function of the chunk bytes (same stance as the reference's data-driven
-zoned-encoding detection, crates/copybook-codec/src/numeric.rs:308-396;
-its 256-entry charset tables at crates/copybook-charset/src/lib.rs:40 are
-the fixed-table precedent).
+Fast Static Symbol Table (Boncz, Neumann, Leis — VLDB 2020): codes 0..254
+map to trained symbols of 1..8 bytes, code 255 is an escape marker followed
+by one literal byte. Training is the paper's iterative refinement (parse the
+sample with the current table, count symbols and concatenations of adjacent
+matched symbols, keep the top candidates by gain = count x length) over a
+bounded sample, so the table is a deterministic function of the chunk bytes
+(same stance as the reference's data-driven zoned-encoding detection,
+crates/copybook-codec/src/numeric.rs:308-396; its 256-entry charset tables at
+crates/copybook-charset/src/lib.rs:40 are the fixed-table precedent).
 
-Both encode and decode are fully vectorized. The only sequential dependency
-in greedy pair matching (a taken pair consumes the next byte) is resolved
-with a run-parity trick: within each maximal run of consecutive pair-eligible
-positions, greedy left-to-right takes exactly the even offsets.
+Both directions are fully vectorized. Longest-match at every position is 7
+masked binary searches over per-length sorted symbol values; the sequential
+greedy parse (each match's length determines the next parse position) is
+resolved by pointer doubling over the jump array next[i] = i + len[i] —
+O(log n) gather passes, no per-byte Python.
 """
 
 from __future__ import annotations
@@ -23,135 +25,174 @@ from copybook_rs_spark.errors import PayloadCorruptError, TruncatedBlobError
 
 ESCAPE = 255
 MAX_CODES = 255  # 0..254 usable, 255 reserved for escape
-_MAX_PAIRS = 192
-_MIN_PAIR_FREQ = 4
-_TRAIN_SAMPLE = 1 << 16
+MAX_SYM_LEN = 8
+_TRAIN_SAMPLE = 1 << 14  # training-time/quality sweet spot: a 16 KiB prefix
+# sample gives within ~0.5% of the 64 KiB-sample size on id-suffix streams
+# at roughly half the training cost (scripts/exp_conf.py-style sweep)
+_TRAIN_ITERS = 5
+_U64_1 = np.uint64(1)
+_FULL64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _len_mask(length: int) -> np.uint64:
+    """Mask keeping the low `length` bytes of a little-endian u64 window."""
+    if length >= 8:
+        return _FULL64
+    return (_U64_1 << np.uint64(8 * length)) - _U64_1
 
 
 class SymbolTable:
-    """Trained table: per-code symbol length (0 = unused) and bytes."""
+    """Trained table: per-code symbol length (0 = unused) and bytes.
 
-    __slots__ = ("sym_len", "sym_b0", "sym_b1", "pair_code", "single_code")
+    Lookup structures: single_code[256] for length-1 symbols; by_len[L] =
+    (sorted u64 symbol values, their codes) for L in 2..8."""
 
-    def __init__(self, sym_len: np.ndarray, sym_b0: np.ndarray, sym_b1: np.ndarray):
-        self.sym_len = sym_len  # uint8[256]
-        self.sym_b0 = sym_b0  # uint8[256]
-        self.sym_b1 = sym_b1  # uint8[256]
-        pair_code = np.full(65536, -1, dtype=np.int16)
+    __slots__ = (
+        "sym_len", "sym_bytes", "sym_val", "single_code", "by_len",
+        "prefix2", "has_multi",
+    )
+
+    def __init__(self, sym_len: np.ndarray, sym_bytes: np.ndarray):
+        self.sym_len = np.ascontiguousarray(sym_len, dtype=np.uint8)  # [256]
+        self.sym_bytes = np.ascontiguousarray(sym_bytes, dtype=np.uint8)  # [256, 8]
+        val = np.zeros(256, dtype=np.uint64)
+        for j in range(MAX_SYM_LEN):
+            val |= self.sym_bytes[:, j].astype(np.uint64) << np.uint64(8 * j)
+        self.sym_val = val
         single_code = np.full(256, -1, dtype=np.int16)
-        for c in np.flatnonzero(sym_len == 2):
-            pair_code[int(sym_b0[c]) * 256 + int(sym_b1[c])] = c
-        for c in np.flatnonzero(sym_len == 1):
-            single_code[int(sym_b0[c])] = c
-        self.pair_code = pair_code
+        ones = np.flatnonzero(self.sym_len == 1)
+        single_code[self.sym_bytes[ones, 0]] = ones.astype(np.int16)
         self.single_code = single_code
+        by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        prefix2 = np.zeros(65536, dtype=bool)
+        for length in range(2, MAX_SYM_LEN + 1):
+            codes = np.flatnonzero(self.sym_len == length)
+            vals = self.sym_val[codes] & _len_mask(length)
+            order = np.argsort(vals, kind="stable")
+            by_len[length] = (vals[order], codes[order].astype(np.int64))
+            prefix2[(vals & np.uint64(0xFFFF)).astype(np.int64)] = True
+        self.by_len = by_len
+        self.prefix2 = prefix2
+        self.has_multi = bool(prefix2.any())
 
     def serialize(self) -> bytes:
         """255 length bytes + concatenated symbol bytes (codes 0..254)."""
         lens = self.sym_len[:MAX_CODES]
-        parts = [lens.tobytes()]
-        order = np.flatnonzero(lens > 0)
-        blob = np.empty(int(lens.sum()), dtype=np.uint8)
+        used = np.flatnonzero(lens > 0)
+        total = int(lens.sum())
+        blob = np.empty(total, dtype=np.uint8)
         pos = 0
-        for c in order:
-            blob[pos] = self.sym_b0[c]
-            if lens[c] == 2:
-                blob[pos + 1] = self.sym_b1[c]
-            pos += int(lens[c])
-        parts.append(blob.tobytes())
-        return b"".join(parts)
+        for c in used:
+            k = int(lens[c])
+            blob[pos : pos + k] = self.sym_bytes[c, :k]
+            pos += k
+        return lens.tobytes() + blob.tobytes()
 
     @classmethod
     def deserialize(cls, buf: memoryview) -> tuple["SymbolTable", int]:
         if len(buf) < MAX_CODES:
             raise TruncatedBlobError("fsst table truncated")
         lens = np.frombuffer(buf, dtype=np.uint8, count=MAX_CODES)
-        if (lens > 2).any():
-            raise PayloadCorruptError("fsst symbol length > 2")
+        if (lens > MAX_SYM_LEN).any():
+            raise PayloadCorruptError(f"fsst symbol length > {MAX_SYM_LEN}")
         total = int(lens.sum())
         if len(buf) < MAX_CODES + total:
             raise TruncatedBlobError("fsst symbol bytes truncated")
         blob = np.frombuffer(buf, dtype=np.uint8, count=total, offset=MAX_CODES)
         sym_len = np.zeros(256, dtype=np.uint8)
         sym_len[:MAX_CODES] = lens
-        sym_b0 = np.zeros(256, dtype=np.uint8)
-        sym_b1 = np.zeros(256, dtype=np.uint8)
+        sym_bytes = np.zeros((256, MAX_SYM_LEN), dtype=np.uint8)
         starts = np.zeros(MAX_CODES, dtype=np.int64)
         np.cumsum(lens[:-1].astype(np.int64), out=starts[1:])
-        used = np.flatnonzero(lens > 0)
-        sym_b0[used] = blob[starts[used]]
-        two = np.flatnonzero(lens == 2)
-        sym_b1[two] = blob[starts[two] + 1]
-        return cls(sym_len, sym_b0, sym_b1), MAX_CODES + total
+        for c in np.flatnonzero(lens > 0):
+            k = int(lens[c])
+            sym_bytes[c, :k] = blob[starts[c] : starts[c] + k]
+        return cls(sym_len, sym_bytes), MAX_CODES + total
 
 
-def _build_table(pairs: np.ndarray, singles: np.ndarray) -> SymbolTable:
-    sym_len = np.zeros(256, dtype=np.uint8)
-    sym_b0 = np.zeros(256, dtype=np.uint8)
-    sym_b1 = np.zeros(256, dtype=np.uint8)
-    n_pairs = len(pairs)
-    codes = np.arange(n_pairs)
-    sym_len[codes] = 2
-    sym_b0[codes] = (pairs >> 8).astype(np.uint8)
-    sym_b1[codes] = (pairs & 0xFF).astype(np.uint8)
-    codes = np.arange(n_pairs, n_pairs + len(singles))
-    sym_len[codes] = 1
-    sym_b0[codes] = singles.astype(np.uint8)
-    return SymbolTable(sym_len, sym_b0, sym_b1)
+def _empty_table() -> SymbolTable:
+    return SymbolTable(
+        np.zeros(256, dtype=np.uint8), np.zeros((256, MAX_SYM_LEN), dtype=np.uint8)
+    )
 
 
-def train(data: np.ndarray) -> SymbolTable:
-    """Single-pass frequency training over a bounded prefix sample.
-
-    Longer effective symbols come from stacking passes (compress the code
-    stream with a freshly trained table — pairs-of-pairs give 4-byte
-    symbols), which the caller controls; see codecs/core.py _encode_fsst."""
-    sample = data[:_TRAIN_SAMPLE]
-    if len(sample) == 0:
-        return _build_table(np.empty(0, np.uint16), np.empty(0, np.uint8))
-    bk, bc = np.unique(sample, return_counts=True)
-    singles_order = bk[np.lexsort((bk, -bc))]
-    pk = np.empty(0, np.uint16)
-    if len(sample) >= 2:
-        keys = sample[:-1].astype(np.uint16) * 256 + sample[1:]
-        pk, pc = np.unique(keys, return_counts=True)
-        good = pc >= _MIN_PAIR_FREQ
-        pk, pc = pk[good], pc[good]
-        order = np.lexsort((pk, -pc))[:_MAX_PAIRS]  # by (-count, key)
-        pk = pk[order]
-    singles = singles_order[: MAX_CODES - len(pk)]
-    return _build_table(pk, singles)
+def _windows(data: np.ndarray) -> np.ndarray:
+    """u64 little-endian 8-byte window starting at each position
+    (zero-padded past the end)."""
+    n = len(data)
+    pad = np.zeros(n + MAX_SYM_LEN, dtype=np.uint8)
+    pad[:n] = data
+    w = np.zeros(n, dtype=np.uint64)
+    for j in range(MAX_SYM_LEN):
+        w |= pad[j : j + n].astype(np.uint64) << np.uint64(8 * j)
+    return w
 
 
-def compress_multi(
-    data: np.ndarray, max_passes: int = 3, min_gain: float = 0.96
-) -> tuple[list["SymbolTable"], list[np.ndarray]]:
-    """Stack compression passes while each shrinks the stream enough to pay
-    for its table (pairs-of-pairs => effective 4/8-byte symbols).
-    Returns (tables, streams) with streams[0] = input, streams[-1] = final."""
-    streams = [data]
-    tables: list[SymbolTable] = []
-    for _ in range(max_passes):
-        cur = streams[-1]
-        if len(cur) < 16:
-            break
-        table = train(cur)
-        nxt = np.frombuffer(compress(cur, table), dtype=np.uint8)
-        if len(nxt) + len(table.serialize()) > min_gain * len(cur):
-            break
-        streams.append(nxt)
-        tables.append(table)
-    return tables, streams
+def _match(data: np.ndarray, table: SymbolTable, w: np.ndarray | None = None):
+    """Longest symbol match at every position -> (mlen, mcode, windows).
+    mcode = -1 where only an escaped literal is possible (mlen 1)."""
+    n = len(data)
+    if w is None:
+        w = _windows(data)
+    mlen = np.ones(n, dtype=np.int64)
+    mcode = table.single_code[data].astype(np.int64)
+    if table.has_multi:
+        # only positions whose 2-byte prefix opens some symbol can match
+        cand = np.flatnonzero(
+            table.prefix2[(w & np.uint64(0xFFFF)).astype(np.int64)]
+        )
+        if len(cand):
+            wc = w[cand]
+            for length in range(2, MAX_SYM_LEN + 1):
+                vals, codes = table.by_len[length]
+                if len(vals) == 0:
+                    continue
+                wv = wc & _len_mask(length)
+                ins = np.searchsorted(vals, wv)
+                ins_c = np.minimum(ins, len(vals) - 1)
+                hit = (vals[ins_c] == wv) & (cand + length <= n)
+                hp = cand[hit]
+                mlen[hp] = length
+                mcode[hp] = codes[ins_c[hit]]
+    return mlen, mcode, w
 
 
-def decompress_multi(
-    final: np.ndarray, tables: list["SymbolTable"], lens: list[int]
-) -> np.ndarray:
-    """Inverse of compress_multi: lens[i] = byte length of stream i."""
-    stream = final
-    for p in range(len(tables) - 1, -1, -1):
-        stream = decompress(stream, tables[p], lens[p])
-    return stream
+def _greedy_positions(mlen: np.ndarray, n: int) -> np.ndarray:
+    """Positions visited by the greedy parse 0 -> 0+mlen[0] -> ... — pointer
+    doubling over next[i] = i + mlen[i]: reached(2^(k+1)) = reached(2^k)
+    ∪ jump_2^k(reached(2^k))."""
+    nxt = np.minimum(np.arange(n, dtype=np.int64) + mlen, n)
+    jump = np.append(nxt, n)  # jump[n] = n (terminal fixpoint)
+    reached = np.zeros(n + 1, dtype=bool)
+    reached[0] = True
+    steps = 1
+    while steps <= n:
+        reached[jump[np.flatnonzero(reached)]] = True
+        jump = jump[jump]
+        steps *= 2
+    return np.flatnonzero(reached[:n])
+
+
+def compress(data: np.ndarray, table: SymbolTable) -> bytes:
+    """Encode uint8 array -> code bytes. Vectorized greedy longest-match."""
+    n = len(data)
+    if n == 0:
+        return b""
+    mlen, mcode, _ = _match(data, table)
+    taken = _greedy_positions(mlen, n)
+    codes = mcode[taken]
+    esc = codes < 0
+    out_len = np.where(esc, 2, 1)
+    m = len(taken)
+    offs = np.zeros(m, dtype=np.int64)
+    np.cumsum(out_len[:-1], out=offs[1:])
+    out = np.empty(int(out_len.sum()), dtype=np.uint8)
+    ok = ~esc
+    out[offs[ok]] = codes[ok]
+    eo = offs[esc]
+    out[eo] = ESCAPE
+    out[eo + 1] = data[taken[esc]]
+    return out.tobytes()
 
 
 def _ffill_run_starts(flags: np.ndarray) -> np.ndarray:
@@ -159,46 +200,6 @@ def _ffill_run_starts(flags: np.ndarray) -> np.ndarray:
     idx = np.arange(len(flags), dtype=np.int64)
     begin = flags & ~np.concatenate(([False], flags[:-1]))
     return np.maximum.accumulate(np.where(begin, idx, -1))
-
-
-def compress(data: np.ndarray, table: SymbolTable) -> bytes:
-    """Encode uint8 array -> code bytes. Vectorized greedy pair matching."""
-    n = len(data)
-    if n == 0:
-        return b""
-    if n >= 2:
-        keys = data[:-1].astype(np.uint16) * 256 + data[1:]
-        ok = table.pair_code[keys] >= 0
-        starts = _ffill_run_starts(ok)
-        idx = np.arange(n - 1, dtype=np.int64)
-        taken = ok & (((idx - starts) & 1) == 0)
-    else:
-        taken = np.zeros(0, dtype=bool)
-        keys = np.zeros(0, dtype=np.uint16)
-    is_pair = np.zeros(n, dtype=bool)
-    is_pair[: n - 1] = taken
-    consumed = np.zeros(n, dtype=bool)
-    consumed[1:] = taken
-    is_single = ~is_pair & ~consumed
-    sc = table.single_code[data]
-    out_len = np.zeros(n, dtype=np.int64)
-    out_len[is_pair] = 1
-    single_known = is_single & (sc >= 0)
-    single_esc = is_single & (sc < 0)
-    out_len[single_known] = 1
-    out_len[single_esc] = 2
-    offs = np.zeros(n, dtype=np.int64)
-    np.cumsum(out_len[:-1], out=offs[1:])
-    total = int(out_len.sum())
-    out = np.empty(total, dtype=np.uint8)
-    pair_pos = np.flatnonzero(is_pair)
-    out[offs[pair_pos]] = table.pair_code[keys[pair_pos]].astype(np.uint8)
-    kp = np.flatnonzero(single_known)
-    out[offs[kp]] = sc[kp].astype(np.uint8)
-    ep = np.flatnonzero(single_esc)
-    out[offs[ep]] = ESCAPE
-    out[offs[ep] + 1] = data[ep]
-    return out.tobytes()
 
 
 def decompress(codes: np.ndarray, table: SymbolTable, out_bytes: int) -> np.ndarray:
@@ -217,7 +218,7 @@ def decompress(codes: np.ndarray, table: SymbolTable, out_bytes: int) -> np.ndar
     literal = np.zeros(n, dtype=bool)
     literal[1:] = marker[:-1]
     normal = ~marker & ~literal
-    slen = table.sym_len[codes]
+    slen = table.sym_len[codes].astype(np.int64)
     if (slen[normal] == 0).any():
         raise PayloadCorruptError("fsst: undefined symbol code in stream")
     out_len = np.zeros(n, dtype=np.int64)
@@ -234,7 +235,106 @@ def decompress(codes: np.ndarray, table: SymbolTable, out_bytes: int) -> np.ndar
     mp = np.flatnonzero(marker)
     out[offs[mp]] = codes[mp + 1]
     npos = np.flatnonzero(normal)
-    out[offs[npos]] = table.sym_b0[codes[npos]]
-    two = npos[slen[npos] == 2]
-    out[offs[two] + 1] = table.sym_b1[codes[two]]
+    ln = slen[npos]
+    for j in range(MAX_SYM_LEN):
+        sel = npos[ln > j]
+        if len(sel) == 0:
+            break
+        out[offs[sel] + j] = table.sym_bytes[codes[sel], j]
     return out
+
+
+def train(data: np.ndarray, iters: int = _TRAIN_ITERS) -> SymbolTable:
+    """Iterative FSST training over a bounded prefix sample (paper §3.2):
+    parse with the current table, count matched symbols and concatenations
+    of adjacent matches (capped at 8 bytes), keep the MAX_CODES best by
+    gain = count x length. Deterministic: fixed sample, stable sorts, ties
+    broken by (length, value)."""
+    sample = np.ascontiguousarray(data[:_TRAIN_SAMPLE], dtype=np.uint8)
+    n = len(sample)
+    table = _empty_table()
+    if n == 0:
+        return table
+    w = _windows(sample)
+    for it in range(iters):
+        if it == 0:
+            # empty table: the parse is trivially all single-byte escapes
+            taken = np.arange(n, dtype=np.int64)
+            lens_t = np.ones(n, dtype=np.int64)
+        else:
+            mlen, _, _ = _match(sample, table, w)
+            taken = _greedy_positions(mlen, n)
+            lens_t = mlen[taken]
+        vals_t = w[taken] & _LEN_MASKS[lens_t]
+        if len(taken) > 1:
+            cat_len = np.minimum(lens_t[:-1] + lens_t[1:], MAX_SYM_LEN)
+            cat_len = np.minimum(cat_len, n - taken[:-1])
+            cat_val = w[taken[:-1]] & _LEN_MASKS[cat_len]
+            all_len = np.concatenate([lens_t, cat_len])
+            all_val = np.concatenate([vals_t, cat_val])
+        else:
+            all_len, all_val = lens_t, vals_t
+        # unique (len, val) pairs with counts
+        order = np.lexsort((all_val, all_len))
+        sl, sv = all_len[order], all_val[order]
+        new = np.concatenate(([True], (sl[1:] != sl[:-1]) | (sv[1:] != sv[:-1])))
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(sl)))
+        u_len, u_val = sl[starts], sv[starts]
+        gain = counts * u_len
+        top = np.lexsort((u_val, u_len, -gain))[:MAX_CODES]
+        # stable code assignment: by (length, value)
+        sel = top[np.lexsort((u_val[top], u_len[top]))]
+        k = len(sel)
+        sym_len = np.zeros(256, dtype=np.uint8)
+        sym_bytes = np.zeros((256, MAX_SYM_LEN), dtype=np.uint8)
+        sym_len[:k] = u_len[sel]
+        vals64 = u_val[sel]
+        for j in range(MAX_SYM_LEN):
+            sym_bytes[:k, j] = (
+                (vals64 >> np.uint64(8 * j)) & np.uint64(0xFF)
+            ).astype(np.uint8)
+        table = SymbolTable(sym_len, sym_bytes)
+    return table
+
+
+_LEN_MASKS = np.array([_len_mask(L) for L in range(MAX_SYM_LEN + 1)], dtype=np.uint64)
+
+
+_STACK_RATIO = 0.55
+
+
+def compress_multi(
+    data: np.ndarray, max_passes: int = 2, min_gain: float = 0.96
+) -> tuple[list["SymbolTable"], list[np.ndarray]]:
+    """Stack compression passes while each shrinks the stream enough to pay
+    for its table. With 8-byte symbols a single pass usually wins; another
+    pass only pays on highly repetitive streams — so a further pass is
+    attempted only when the last one compressed below _STACK_RATIO (skips a
+    provably-wasted train on typical streams; pure function of the data).
+    Returns (tables, streams) with streams[0] = input, streams[-1] = final."""
+    streams = [data]
+    tables: list[SymbolTable] = []
+    for p in range(max_passes):
+        cur = streams[-1]
+        if len(cur) < 16:
+            break
+        table = train(cur)
+        nxt = np.frombuffer(compress(cur, table), dtype=np.uint8)
+        if len(nxt) + len(table.serialize()) > min_gain * len(cur):
+            break
+        streams.append(nxt)
+        tables.append(table)
+        if len(nxt) > _STACK_RATIO * len(cur):
+            break
+    return tables, streams
+
+
+def decompress_multi(
+    final: np.ndarray, tables: list["SymbolTable"], lens: list[int]
+) -> np.ndarray:
+    """Inverse of compress_multi: lens[i] = byte length of stream i."""
+    stream = final
+    for p in range(len(tables) - 1, -1, -1):
+        stream = decompress(stream, tables[p], lens[p])
+    return stream

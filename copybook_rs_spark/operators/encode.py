@@ -127,7 +127,7 @@ class _GroupBuffer:
     crates/copybook-codec-memory/src/streaming.rs:103)."""
 
     __slots__ = (
-        "source", "part_id", "seq",
+        "source", "part_id", "seq", "doc_fsst",
         "doc_bytes", "doc_lens", "tok_lens", "tok_vals", "pending_values",
     )
 
@@ -135,6 +135,10 @@ class _GroupBuffer:
         self.source = source
         self.part_id = part_id
         self.seq = 0
+        # FSST stack trained on this group's first chunk, reused for the
+        # rest of the group (a pure function of group content — the group
+        # is processed by exactly one task in deterministic doc_id order)
+        self.doc_fsst: list | None = None
         self.doc_bytes: list[np.ndarray] = []
         self.doc_lens: list[np.ndarray] = []
         self.tok_lens: list[np.ndarray] = []
@@ -193,7 +197,12 @@ class _GroupBuffer:
         doc_l = dl[start:end]
         lens = tl[start:end]
         vals = tv[cum_vals[start] : cum_vals[end]]
-        b, info = blob.encode_chunk(doc_b, doc_l, lens, vals, codec=cfg.codec)
+        b, info = blob.encode_chunk(
+            doc_b, doc_l, lens, vals, codec=cfg.codec,
+            doc_fsst_cache=self.doc_fsst,
+        )
+        if self.doc_fsst is None and info["doc_fsst_tables"]:
+            self.doc_fsst = info["doc_fsst_tables"]
         s = info["stats"]
         first_doc = doc_b[: int(doc_l[0])].decode("utf-8") if len(doc_l) else ""
         row = {

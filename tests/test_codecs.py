@@ -106,8 +106,7 @@ def test_fsst_table_serialization_roundtrip():
     table2, used = fsst.SymbolTable.deserialize(memoryview(buf))
     assert used == len(buf)
     np.testing.assert_array_equal(table2.sym_len, table.sym_len)
-    np.testing.assert_array_equal(table2.sym_b0, table.sym_b0)
-    np.testing.assert_array_equal(table2.sym_b1, table.sym_b1)
+    np.testing.assert_array_equal(table2.sym_bytes, table.sym_bytes)
 
 
 @given(st.binary(max_size=2000))
