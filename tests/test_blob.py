@@ -172,3 +172,41 @@ def test_front_code_corrupt_lcp_detected():
         blob._front_decode(bad, dl, suf)
     with pytest.raises(EngineError):
         blob._front_decode(lcp, dl, suf + b"x")  # stream length mismatch
+
+
+def test_alphabet_pack_roundtrip_and_corruption():
+    # digit-heavy stream -> enc selects pack or fsst; drive enc=3 directly
+    stream = ("123_4567_" * 50).encode()
+    enc, _ = blob._encode_doc_bytes(stream)
+    out = blob._decode_doc_bytes(memoryview(enc), len(stream))
+    assert out == stream
+    if enc[0] == 3:
+        # bad alphabet size / width must raise typed errors
+        bad = bytearray(enc)
+        bad[1] = 0  # k == 0
+        with pytest.raises(EngineError):
+            blob._decode_doc_bytes(memoryview(bytes(bad)), len(stream))
+        bad = bytearray(enc)
+        bad[2] = 9  # w > 4
+        with pytest.raises(EngineError):
+            blob._decode_doc_bytes(memoryview(bytes(bad)), len(stream))
+        with pytest.raises(EngineError):
+            blob._decode_doc_bytes(memoryview(enc[:4]), len(stream))
+
+
+def test_doc_fsst_cache_reuse_still_roundtrips():
+    # second chunk encoded with the first chunk's table stack must decode
+    ids1 = sorted(f"g/{i:07d}" for i in range(1500))
+    ids2 = sorted(f"g/{i:07d}" for i in range(1500, 3000))
+    rng = np.random.default_rng(9)
+    cache = None
+    for ids in (ids1, ids2):
+        db = "".join(ids).encode()
+        dl = np.array([len(s) for s in ids], dtype=np.int64)
+        tl = np.full(len(ids), 8, dtype=np.int64)
+        tv = rng.integers(0, 1000, int(tl.sum())).astype(np.int64)
+        b, info = blob.encode_chunk(db, dl, tl, tv, doc_fsst_cache=cache)
+        if cache is None:
+            cache = info["doc_fsst_tables"]
+        odb, odl, otl, otv = blob.decode_chunk(b)
+        assert odb == db and (otv == tv).all()
