@@ -109,3 +109,17 @@ def test_jsonl_strict_mode_raises(spark):
     with pytest.raises(PayloadCorruptError) as e:
         from_jsonl(mixed, on_error="fail")
     assert "CBSP204" in str(e.value) and "1 JSONL" in str(e.value)
+
+
+def test_pregrouped_encode_plan_has_no_exchange(spark):
+    # the fast path's whole point: zero shuffle between scan and kernel
+    from copybook_rs_spark.operators.encode import prepare_grouped
+
+    tok = token_table(spark, SF)
+    grouped = prepare_grouped(tok, CFG)
+    fast = encode_tokens(grouped, CFG, pregrouped=True)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    # exactly one Exchange (the prepare step itself); the encode adds none.
+    n_ex = plan.count("Exchange")
+    base_plan = grouped._jdf.queryExecution().executedPlan().toString()
+    assert n_ex == base_plan.count("Exchange"), plan
