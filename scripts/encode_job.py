@@ -37,6 +37,13 @@ def main() -> int:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--verify", action="store_true")
     ap.add_argument(
+        "--pregrouped",
+        action="store_true",
+        help="input already carries part_id and the prepare_grouped layout "
+        "(e.g. persisted bucketed/sorted): skip the salt pre-pass and the "
+        "shuffle entirely; layout violations fail with CBSP300",
+    )
+    ap.add_argument(
         "--derive-tokens",
         action="store_true",
         help="input is a testdata sf dir; derive the token table from lineitem",
@@ -59,21 +66,28 @@ def main() -> int:
         df = spark.read.parquet(args.input)
 
     cfg = EncodeConfig(codec=args.codec, chunk_values=args.chunk_values)
-    salts = plan_salts(df, cfg.target_values_per_part, cfg.max_salt)
+    salts = None if args.pregrouped else plan_salts(
+        df, cfg.target_values_per_part, cfg.max_salt
+    )
 
     target = df
     mode = "overwrite"
     if args.resume:
         try:
             m = mani.read_manifest(spark, args.output)
-            target = mani.pending_groups(with_part_id(df, salts), m).drop("part_id")
+            salted = df if args.pregrouped else with_part_id(df, salts)
+            target = mani.pending_groups(salted, m)
+            if not args.pregrouped:
+                target = target.drop("part_id")
             mode = "append"
         except Exception:
             pass  # nothing committed yet -> full run
     n_pending = target.count()
     t0 = time.time()
     if n_pending:
-        chunk_df = encode_tokens(target, cfg, salts=salts)
+        chunk_df = encode_tokens(
+            target, cfg, salts=salts, pregrouped=args.pregrouped
+        )
         chunk_df.write.mode(mode).partitionBy("source").parquet(
             args.output + "/chunks"
         )
