@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from copybook_rs_spark.config import EncodeConfig
 from copybook_rs_spark.operators import decode_tokens, encode_tokens
+from copybook_rs_spark.operators.verify import hash_mismatched_sources
 
 from copybook_rs_spark.session import get_spark
 from copybook_rs_spark.sources.manifest import build_manifest, read_chunks, write_encoded
@@ -68,20 +69,10 @@ def main() -> None:
         assert int(dec_tokens) == n_tokens, "decode token-count mismatch"
 
         # verify the WRITTEN artifact: decode-from-disk must reproduce every
-        # row bit-identically (cheaper and stricter than re-encoding)
+        # row bit-identically. Scale-path check: per-source exact digest
+        # sums (no row shuffle) — see operators/verify.py.
         t = time.perf_counter()
-        dec = decode_tokens(chunks)
-        a = tok.select("doc_id", F.col("tokens").alias("ta"))
-        b = dec.select("doc_id", F.col("tokens").alias("tb"))
-        mismatches = (
-            a.join(b, "doc_id", "full_outer")
-            .filter(
-                F.col("ta").isNull()
-                | F.col("tb").isNull()
-                | (F.col("ta") != F.col("tb"))
-            )
-            .count()
-        )
+        mismatches = hash_mismatched_sources(tok, decode_tokens(chunks)).count()
         times["verify_written"] = time.perf_counter() - t
         assert mismatches == 0, "verification failed"
 

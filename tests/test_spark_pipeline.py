@@ -174,3 +174,23 @@ def test_pregrouped_requires_part_id(spark, tok_df):
 
     with pytest.raises(PipelineContractError):
         encode_tokens(tok_df, CFG, pregrouped=True)
+
+
+def test_hash_verify_passes_and_catches_corruption(spark, tok_df):
+    from copybook_rs_spark.operators.verify import hash_mismatched_sources
+
+    dec = decode_tokens(encode_tokens(tok_df, CFG))
+    assert hash_mismatched_sources(tok_df, dec).count() == 0
+    # a single dropped row must flip its source's digest
+    broken = dec.filter(F.col("doc_id") != dec.select("doc_id").first()[0])
+    bad = hash_mismatched_sources(tok_df, broken).collect()
+    assert len(bad) == 1
+    # a single flipped token value must flip the digest too
+    mutated = dec.withColumn(
+        "tokens",
+        F.when(
+            F.col("doc_id") == dec.select("doc_id").first()[0],
+            F.concat(F.slice("tokens", 1, F.size("tokens") - 1), F.array(F.lit(0))),
+        ).otherwise(F.col("tokens")),
+    )
+    assert hash_mismatched_sources(tok_df, mutated).count() >= 1
