@@ -95,11 +95,13 @@ def _encode_doc_bytes(
     >= 64 bytes. Strictly-smaller wins, raw never loses to a larger
     encoding; the choice is a pure function of the bytes.
 
-    cached_tables: an FSST table stack trained on an earlier chunk of the
-    same data-deterministic group — reused to skip training (tables are
-    still serialized inside every blob, so decode stays self-contained and
-    chunk content stays a pure function of the group's data). Returns
-    (encoded, tables_used_or_None)."""
+    cached_tables: the FSST outcome of an earlier chunk of the same
+    data-deterministic group — a table stack to reuse (skips training;
+    tables are still serialized inside every blob, so decode stays
+    self-contained), or [] meaning FSST was tried on this group and lost
+    to pack/raw (skip training for the rest of the group), or None (not
+    tried yet). Returns (encoded, tables_used_or_[]_or_None) in the same
+    convention; chunk content stays a pure function of the group's data."""
     best = b"\x00" + doc_bytes
     used: list | None = None
     if len(doc_bytes) >= 64:
@@ -116,7 +118,7 @@ def _encode_doc_bytes(
             )
             if len(enc) < len(best):
                 best = enc
-        if cached_tables:
+        if cached_tables is not None:
             tables, streams = _fsst_apply(data, cached_tables)
         else:
             tables, streams = fsst_mod.compress_multi(data)
@@ -129,6 +131,8 @@ def _encode_doc_bytes(
             if len(enc) < len(best):
                 best = enc
                 used = tables
+        if used is None and cached_tables is None:
+            used = []  # fsst freshly tried and lost: remember for the group
     return best, used
 
 

@@ -201,7 +201,9 @@ class _GroupBuffer:
             doc_b, doc_l, lens, vals, codec=cfg.codec,
             doc_fsst_cache=self.doc_fsst,
         )
-        if self.doc_fsst is None and info["doc_fsst_tables"]:
+        if self.doc_fsst is None and info["doc_fsst_tables"] is not None:
+            # a table stack to reuse, or [] = fsst lost on this group's
+            # first eligible chunk -> skip training for the rest of it
             self.doc_fsst = info["doc_fsst_tables"]
         s = info["stats"]
         first_doc = doc_b[: int(doc_l[0])].decode("utf-8") if len(doc_l) else ""
