@@ -113,6 +113,19 @@ def _q_topk_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A3/dict-codec sizing at vocabulary granularity: global top-20 tokens
+    # by frequency, deterministic tie-break on token value.
+    tok = token_table(spark, sf_dir)
+    ex = tok.select(F.explode("tokens").alias("token"))
+    return (
+        ex.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(20)
+    )
+
+
 def _q_odo_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ODO validation (SURVEY §2.3): size(tokens) == n_tok for every row.
     tok = token_table(spark, sf_dir)
@@ -299,6 +312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verify_roundtrip": _q_verify_roundtrip,
         "manifest_agg": _q_manifest_agg,
         "topk_sources": _q_topk_sources,
+        "token_histogram": _q_token_histogram,
         "odo_invariant": _q_odo_invariant,
         "dedup_exact": _q_dedup_exact,
         "lang_histogram": _q_lang_histogram,
@@ -400,6 +414,11 @@ def oracle_sql() -> dict[str, str]:
         "topk_sources": f"""
             SELECT source, count(*) AS n_docs FROM {_TOK}
             GROUP BY source ORDER BY n_docs DESC, source ASC LIMIT 2
+        """,
+        "token_histogram": f"""
+            SELECT token, count(*) AS cnt
+            FROM (SELECT unnest(tokens) AS token FROM {_TOK})
+            GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20
         """,
         "odo_invariant": f"""
             SELECT source,
