@@ -15,6 +15,13 @@ crates/copybook-codec/src/numeric.rs:308-396):
                                 len2:u32 sub2:payload(run lengths)
   dict     := n:u32 d:u32 len1:u32 sub1:payload(sorted unique values)
                            len2:u32 sub2:payload(indices)
+  patch    := n:u32 mode:i64 n_exc:u32 len1:u32 sub1:payload(exception
+              position gaps: pos[0], pos[i]-pos[i-1]) len2:u32
+              sub2:payload(exception values) — PFOR-style "patched"
+              coding for streams dominated by one value (e.g. the zigzag
+              delta stream of fixed-stride token sequences, where one
+              delta carries >90% of the mass but is interleaved with
+              jumps, so RLE cannot see it)
   fsst     := n:u32 nbytes:u32 table len:u32 codes[len]
               (values -> zigzag -> varint byte stream -> fsst codes)
 
@@ -53,6 +60,7 @@ CODEC_RLE = 3
 CODEC_DICT = 4
 CODEC_FSST = 5
 CODEC_DELTA = 6
+CODEC_PATCH = 7
 
 CODEC_NAMES = {
     CODEC_PLAIN: "plain",
@@ -62,13 +70,14 @@ CODEC_NAMES = {
     CODEC_DICT: "dict",
     CODEC_FSST: "fsst",
     CODEC_DELTA: "delta",
+    CODEC_PATCH: "patch",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
 # candidate order = deterministic tie-break (earlier wins on equal size)
 _DEPTH_CANDIDATES = {
-    0: ("bitpack", "for", "delta", "rle", "dict", "plain"),
-    1: ("bitpack", "for", "delta", "rle", "plain"),
+    0: ("bitpack", "for", "delta", "rle", "dict", "patch", "plain"),
+    1: ("bitpack", "for", "delta", "rle", "patch", "plain"),
     2: ("bitpack", "for", "plain"),
 }
 _MAX_DEPTH = 2
@@ -97,7 +106,9 @@ class ChunkStats:
     max_run_len: int
     max_zz_delta: int
     n_delta_runs: int = 0  # runs in the (modular) diff stream
+    mode_count: int = 0  # frequency of the most common value (0 = unknown)
     _uniq: np.ndarray | None = field(default=None, repr=False)
+    _uniq_counts: np.ndarray | None = field(default=None, repr=False)
     _run_break_idx: np.ndarray | None = field(default=None, repr=False)
 
     @classmethod
@@ -124,7 +135,10 @@ class ChunkStats:
         n_delta_runs = (
             int((diffs_u[1:] != diffs_u[:-1]).sum()) + 1 if n > 2 else min(n, 1)
         )
-        uniq = np.unique(v) if deep else None
+        if deep:
+            uniq, ucounts = np.unique(v, return_counts=True)
+        else:
+            uniq, ucounts = None, None
         zz_first = vi.zigzag_encode(v[:1])
         zz_rest = vi.zigzag_encode(diffs_u.view(np.int64))
         max_zz = int(max(zz_first.max(), zz_rest.max()) if n > 1 else zz_first.max())
@@ -137,7 +151,9 @@ class ChunkStats:
             is_sorted=is_sorted,
             max_run_len=max_run,
             max_zz_delta=max_zz,
+            mode_count=int(ucounts.max()) if ucounts is not None else 0,
             _uniq=uniq,
+            _uniq_counts=ucounts,
             _run_break_idx=breaks,
         )
 
@@ -253,6 +269,37 @@ def _encode_dict(vals: np.ndarray, depth: int, stats: ChunkStats | None = None) 
     )
 
 
+_HDR_PATCH = struct.Struct("<IqI")
+
+
+def _encode_patch(vals: np.ndarray, depth: int, stats: ChunkStats | None = None) -> bytes:
+    v = np.ascontiguousarray(vals, dtype=np.int64)
+    n = len(v)
+    if stats is not None and stats._uniq is not None and stats._uniq_counts is not None:
+        uniq, counts = stats._uniq, stats._uniq_counts
+    else:
+        uniq, counts = np.unique(v, return_counts=True)
+    if n == 0:
+        mode = 0
+        exc_idx = np.empty(0, dtype=np.int64)
+    else:
+        mode = int(uniq[np.argmax(counts)])  # argmax: first max = smallest value
+        exc_idx = np.flatnonzero(v != mode)
+    gaps = np.diff(exc_idx, prepend=0) if len(exc_idx) else np.empty(0, np.int64)
+    if len(exc_idx):
+        gaps[0] = exc_idx[0]
+    sub_pos, _ = encode_array(gaps, codec="auto", depth=depth + 1)
+    sub_val, _ = encode_array(v[exc_idx], codec="auto", depth=depth + 1)
+    return (
+        bytes([CODEC_PATCH])
+        + _HDR_PATCH.pack(n, mode, len(exc_idx))
+        + _U32.pack(len(sub_pos))
+        + sub_pos
+        + _U32.pack(len(sub_val))
+        + sub_val
+    )
+
+
 _FSST_MAX_PASSES = 3
 
 
@@ -291,6 +338,8 @@ def _encode_named(name: str, v: np.ndarray, stats: ChunkStats | None, depth: int
         return _encode_rle(v, depth, stats)
     if name == "dict":
         return _encode_dict(v, depth, stats)
+    if name == "patch":
+        return _encode_patch(v, depth, stats)
     if name == "fsst":
         return _encode_fsst(v)
     raise UnknownCodecError(f"unknown codec {name!r}")
@@ -312,7 +361,9 @@ def encode_array(
                 return plain, "plain"
         return out, codec
     if stats is None:
-        stats = ChunkStats.analyze(v, deep=(depth == 0))
+        # deep stats (unique + counts) through depth 1 so dict gating is
+        # exact and patch can see the mode of delta/index sub-streams
+        stats = ChunkStats.analyze(v, deep=(depth <= 1))
     names = _DEPTH_CANDIDATES[min(depth, _MAX_DEPTH)]
     est = estimate_sizes(stats)
     lb = _lower_bounds(stats)
@@ -332,6 +383,11 @@ def encode_array(
             continue  # 2 sub-values per run can't beat bitpack
         if name == "dict" and stats.n_distinct > max(stats.n // 2, 4):
             continue
+        if name == "patch" and (
+            stats.mode_count == 0  # mode unknown (shallow stats): skip
+            or stats.n - stats.mode_count > max(stats.n // 2, 4)
+        ):
+            continue  # 2 sub-values per exception can't beat bitpack
         if best is not None and lb.get(name, 0) >= len(best):
             continue
         enc = _encode_named(name, v, stats, depth)
@@ -370,6 +426,8 @@ def _lower_bounds(s: ChunkStats) -> dict[str, int]:
     out["delta"] = 10 + s.n_delta_runs // 8
     out["rle"] = 18 + s.n_runs // 8
     out["dict"] = 18 + s.n_distinct // 8
+    if s.mode_count:
+        out["patch"] = 25 + (s.n - s.mode_count) // 8
     return out
 
 
@@ -403,6 +461,9 @@ def estimate_sizes(s: ChunkStats) -> dict[str, int]:
         est["dict"] = (
             1 + 9 + 8 + (1 + 13 + sub(d, rng)) + sub(n, max(d - 1, 0))
         )
+    if s.mode_count:
+        e = n - s.mode_count
+        est["patch"] = 1 + 16 + 8 + sub(e, n) + sub(e, rng)
     return est
 
 
@@ -495,6 +556,34 @@ def decode_array(payload: bytes | memoryview) -> np.ndarray:
         if n and ((idx < 0).any() or (idx >= d).any()):
             raise PayloadCorruptError("dict: index out of range")
         return uniq[idx]
+    if cid == CODEC_PATCH:
+        _need(body, 16, "patch header")
+        n, mode, n_exc = _HDR_PATCH.unpack_from(body)
+        off = 16
+        _need(body, off + 4, "patch len1")
+        (len1,) = _U32.unpack_from(body, off)
+        off += 4
+        _need(body, off + len1, "patch positions")
+        gaps = decode_array(body[off : off + len1])
+        off += len1
+        _need(body, off + 4, "patch len2")
+        (len2,) = _U32.unpack_from(body, off)
+        off += 4
+        _need(body, off + len2, "patch values")
+        exc_vals = decode_array(body[off : off + len2])
+        if len(gaps) != n_exc or len(exc_vals) != n_exc:
+            raise CountMismatchError("patch: exception count mismatch")
+        if n_exc > n:
+            raise PayloadCorruptError("patch: more exceptions than values")
+        out = np.full(n, mode, dtype=np.int64)
+        if n_exc:
+            if (gaps[1:] < 1).any() or gaps[0] < 0:
+                raise PayloadCorruptError("patch: non-increasing positions")
+            pos = np.cumsum(gaps)
+            if pos[-1] >= n:
+                raise PayloadCorruptError("patch: position out of range")
+            out[pos] = exc_vals
+        return out
     if cid == CODEC_FSST:
         _need(body, 5, "fsst header")
         (n,) = _U32.unpack_from(body, 0)

@@ -211,3 +211,33 @@ def test_decode_garbage_raises():
     payload, _ = encode_array(PROFILES["runs"], codec="rle")
     with pytest.raises(EngineError):
         decode_array(payload[:-3])
+
+
+# ---------- patch codec (PFOR-style dominant-value + exceptions) ----------
+
+from copybook_rs_spark.codecs import core
+
+
+def test_patch_roundtrip_and_selection():
+    rng = np.random.default_rng(4)
+    n = 20000
+    # fixed stride with sparse jumps: the canonical patch-inside-delta case
+    v = np.cumsum(np.where(rng.random(n) < 0.03,
+                           rng.integers(100, 40000, n), 17)).astype(np.int64)
+    p, name = core.encode_array(v, "auto")
+    np.testing.assert_array_equal(core.decode_array(p), v)
+    assert len(p) < 0.85 * n * 1.365 / 8  # strictly better than pre-patch delta
+
+def test_patch_edges():
+    for vals in ([], [5], [-3] * 100, list(range(5)),
+                 [7] * 1000 + [9] + [7] * 1000 + [-2**62]):
+        v = np.array(vals, dtype=np.int64)
+        enc = core._encode_patch(v, 0)
+        np.testing.assert_array_equal(core.decode_array(enc), v)
+
+def test_patch_corruption_detected():
+    v = np.array([7] * 50 + [9], dtype=np.int64)
+    enc = bytearray(core._encode_patch(v, 0))
+    enc[1 + 8 + 4] ^= 0x01  # n_exc tamper
+    with pytest.raises(EngineError):
+        core.decode_array(bytes(enc))
