@@ -22,6 +22,12 @@ crates/copybook-codec/src/numeric.rs:308-396):
               delta stream of fixed-stride token sequences, where one
               delta carries >90% of the mass but is interleaved with
               jumps, so RLE cannot see it)
+  pfor     := n:u32 ref:i64 w:u8 n_exc:u32 packed[packed_size(n,w)]
+              len1:u32 sub1:payload(exception position gaps)
+              len2:u32 sub2:payload(exception high residuals >> w) —
+              true PFOR (Zukowski et al. 2006): bit width chosen for the
+              BULK of (v - ref), rare wide values patched, so a few
+              spikes no longer blow up the pack width of everything
   fsst     := n:u32 nbytes:u32 table len:u32 codes[len]
               (values -> zigzag -> varint byte stream -> fsst codes)
 
@@ -61,6 +67,7 @@ CODEC_DICT = 4
 CODEC_FSST = 5
 CODEC_DELTA = 6
 CODEC_PATCH = 7
+CODEC_PFOR = 8
 
 CODEC_NAMES = {
     CODEC_PLAIN: "plain",
@@ -71,13 +78,14 @@ CODEC_NAMES = {
     CODEC_FSST: "fsst",
     CODEC_DELTA: "delta",
     CODEC_PATCH: "patch",
+    CODEC_PFOR: "pfor",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
 # candidate order = deterministic tie-break (earlier wins on equal size)
 _DEPTH_CANDIDATES = {
-    0: ("bitpack", "for", "delta", "rle", "dict", "patch", "plain"),
-    1: ("bitpack", "for", "delta", "rle", "patch", "plain"),
+    0: ("bitpack", "for", "delta", "rle", "dict", "patch", "pfor", "plain"),
+    1: ("bitpack", "for", "delta", "rle", "patch", "pfor", "plain"),
     2: ("bitpack", "for", "plain"),
 }
 _MAX_DEPTH = 2
@@ -300,6 +308,65 @@ def _encode_patch(vals: np.ndarray, depth: int, stats: ChunkStats | None = None)
     )
 
 
+_HDR_PFOR = struct.Struct("<IqBI")
+_POW2 = np.concatenate(
+    [np.uint64(1) << np.arange(64, dtype=np.uint64), [np.uint64(0xFFFFFFFFFFFFFFFF)]]
+)
+
+
+def _pfor_plan(resid: np.ndarray, n: int) -> tuple[int, int]:
+    """Deterministic width choice: minimize packed + per-exception cost over
+    the residual bit-width histogram (one vectorized binary search, no
+    sort). Returns (width, n_exc)."""
+    if n == 0:
+        return 0, 0
+    bl = np.searchsorted(_POW2[:64], resid, side="right")  # bit width 0..64
+    hist = np.bincount(bl, minlength=65)
+    exc_above = n - np.cumsum(hist)  # exc_above[w] = count with width > w
+    max_bits = int(bl.max())
+    best_w, best_cost, best_exc = max_bits, None, 0
+    gap_bytes = max(bp.bit_width(n), 1) / 8 + 0.5  # approx per-exception gap
+    for w in range(max_bits + 1):
+        n_exc = int(exc_above[w])
+        cost = (
+            bp.packed_size(n, w)
+            + n_exc * (gap_bytes + max((max_bits - w + 7) // 8, 1))
+        )
+        if best_cost is None or cost < best_cost:
+            best_w, best_cost, best_exc = w, cost, n_exc
+    return best_w, best_exc
+
+
+def _encode_pfor(vals: np.ndarray, depth: int) -> bytes:
+    v = np.ascontiguousarray(vals, dtype=np.int64)
+    n = len(v)
+    ref = int(v.min()) if n else 0
+    resid = (v.view(np.uint64) - np.uint64(ref % (1 << 64))) if n else v.view(np.uint64)
+    w, _ = _pfor_plan(resid, n)
+    if w >= 64:
+        exc_mask = np.zeros(n, dtype=bool)
+    else:
+        exc_mask = resid >= _POW2[w]
+    exc_idx = np.flatnonzero(exc_mask)
+    low = (resid & (_POW2[w] - np.uint64(1))) if w < 64 else resid
+    packed = bp.pack(low, w)
+    gaps = np.diff(exc_idx, prepend=0) if len(exc_idx) else np.empty(0, np.int64)
+    if len(exc_idx):
+        gaps[0] = exc_idx[0]
+    high = (resid[exc_idx] >> np.uint64(w)).view(np.int64) if w < 64 else np.empty(0, np.int64)
+    sub_pos, _ = encode_array(gaps, codec="auto", depth=depth + 1)
+    sub_high, _ = encode_array(high, codec="auto", depth=depth + 1)
+    return (
+        bytes([CODEC_PFOR])
+        + _HDR_PFOR.pack(n, ref, w, len(exc_idx))
+        + packed
+        + _U32.pack(len(sub_pos))
+        + sub_pos
+        + _U32.pack(len(sub_high))
+        + sub_high
+    )
+
+
 _FSST_MAX_PASSES = 3
 
 
@@ -340,6 +407,8 @@ def _encode_named(name: str, v: np.ndarray, stats: ChunkStats | None, depth: int
         return _encode_dict(v, depth, stats)
     if name == "patch":
         return _encode_patch(v, depth, stats)
+    if name == "pfor":
+        return _encode_pfor(v, depth)
     if name == "fsst":
         return _encode_fsst(v)
     raise UnknownCodecError(f"unknown codec {name!r}")
@@ -388,6 +457,10 @@ def encode_array(
             or stats.n - stats.mode_count > max(stats.n // 2, 4)
         ):
             continue  # 2 sub-values per exception can't beat bitpack
+        if name == "pfor" and (
+            stats.n < 16 or bp.bit_width(stats.vmax - stats.vmin) <= 1
+        ):
+            continue  # nothing to patch below 2 bits of range
         if best is not None and lb.get(name, 0) >= len(best):
             continue
         enc = _encode_named(name, v, stats, depth)
@@ -556,6 +629,41 @@ def decode_array(payload: bytes | memoryview) -> np.ndarray:
         if n and ((idx < 0).any() or (idx >= d).any()):
             raise PayloadCorruptError("dict: index out of range")
         return uniq[idx]
+    if cid == CODEC_PFOR:
+        _need(body, 17, "pfor header")
+        n, ref, w, n_exc = _HDR_PFOR.unpack_from(body)
+        if w > 64:
+            raise PayloadCorruptError(f"pfor width {w}")
+        off = 17
+        psize = bp.packed_size(n, w)
+        _need(body, off + psize, "pfor packed")
+        resid = bp.unpack(body[off : off + psize], n, w)
+        off += psize
+        _need(body, off + 4, "pfor len1")
+        (len1,) = _U32.unpack_from(body, off)
+        off += 4
+        _need(body, off + len1, "pfor positions")
+        gaps = decode_array(body[off : off + len1])
+        off += len1
+        _need(body, off + 4, "pfor len2")
+        (len2,) = _U32.unpack_from(body, off)
+        off += 4
+        _need(body, off + len2, "pfor high residuals")
+        high = decode_array(body[off : off + len2])
+        if len(gaps) != n_exc or len(high) != n_exc:
+            raise CountMismatchError("pfor: exception count mismatch")
+        if n_exc > n:
+            raise PayloadCorruptError("pfor: more exceptions than values")
+        if w == 64 and n_exc:
+            raise PayloadCorruptError("pfor: exceptions at full width")
+        if n_exc:
+            if (gaps[1:] < 1).any() or gaps[0] < 0:
+                raise PayloadCorruptError("pfor: non-increasing positions")
+            pos = np.cumsum(gaps)
+            if pos[-1] >= n:
+                raise PayloadCorruptError("pfor: position out of range")
+            resid[pos] |= high.view(np.uint64) << np.uint64(w)
+        return (resid + np.uint64(ref % (1 << 64))).view(np.int64)
     if cid == CODEC_PATCH:
         _need(body, 16, "patch header")
         n, mode, n_exc = _HDR_PATCH.unpack_from(body)
