@@ -143,8 +143,12 @@ def test_front_code_edges():
         assert blob._front_decode(lcp, dl, suf) == db
 
 
-def test_front_coded_chunk_smaller_and_bit_identical():
-    # realistic sorted ids through the full chunk path
+def _doc_enc_flag(b: bytes) -> int:
+    return b[blob.HEADER_LEN + 4 + int(blob._U32.unpack_from(b, blob.HEADER_LEN)[0])]
+
+
+def test_template_chunk_smaller_and_bit_identical():
+    # machine-generated ids through the full chunk path -> template codec
     ids = sorted(f"src_a/{i // 9:06d}/{i:08d}" for i in range(2000))
     db = "".join(ids).encode()
     dl = np.array([len(s) for s in ids], dtype=np.int64)
@@ -154,7 +158,26 @@ def test_front_coded_chunk_smaller_and_bit_identical():
     odb, odl, otl, otv = blob.decode_chunk(b)
     assert odb == db
     np.testing.assert_array_equal(odl, dl)
-    assert b[blob.HEADER_LEN + 4 + int(blob._U32.unpack_from(b, blob.HEADER_LEN)[0])] == 2  # enc flag: front-coded won
+    assert _doc_enc_flag(b) == 4  # template won
+
+
+def test_front_coded_chunk_smaller_and_bit_identical():
+    # sorted ids WITHOUT a common digit template -> front-coding (enc=2)
+    rng = np.random.default_rng(13)
+    alphabet = "abcdefghij"
+    ids = sorted(
+        "pfx/" + "".join(alphabet[c] for c in rng.integers(0, 10, 18))
+        for _ in range(2000)
+    )
+    db = "".join(ids).encode()
+    dl = np.array([len(s) for s in ids], dtype=np.int64)
+    tl = np.full(2000, 16, dtype=np.int64)
+    tv = RNG.integers(0, 50257, 32000).astype(np.int64)
+    b, _ = blob.encode_chunk(db, dl, tl, tv)
+    odb, odl, otl, otv = blob.decode_chunk(b)
+    assert odb == db
+    np.testing.assert_array_equal(odl, dl)
+    assert _doc_enc_flag(b) == 2  # front-coded won
 
 
 def test_front_code_corrupt_lcp_detected():
@@ -210,3 +233,32 @@ def test_doc_fsst_cache_reuse_still_roundtrips():
             cache = info["doc_fsst_tables"]
         odb, odl, otl, otv = blob.decode_chunk(b)
         assert odb == db and (otv == tv).all()
+
+
+def test_template_roundtrip_edge_cases():
+    cases = [
+        sorted(f"id_{i:08d}_x{i % 10}" for i in range(500)),  # leading zeros
+        sorted(f"{i}_tail" for i in range(300)),              # starts with digits
+        sorted(f"head_{i}" for i in range(300)),              # ends with digits
+        sorted(str(i) for i in range(64, 400)),               # all digits
+        ["dup_7"] * 100,                                      # identical ids
+        sorted(f"документ-{i:05d}" for i in range(200)),      # non-ascii literal
+    ]
+    for ids in cases:
+        db = "".join(ids).encode()
+        dl = np.array([len(s.encode()) for s in ids], dtype=np.int64)
+        sec, _ = blob._encode_doc_section(db, dl)
+        assert blob._decode_doc_bytes(memoryview(sec), len(db), dl) == db
+
+
+def test_template_corruption_detected():
+    ids = sorted(f"doc_{i:06d}" for i in range(200))
+    db = "".join(ids).encode()
+    dl = np.array([len(s) for s in ids], dtype=np.int64)
+    sec, _ = blob._encode_doc_section(db, dl)
+    assert sec[0] == 4
+    # wrong doc_lens must be caught
+    with pytest.raises(EngineError):
+        blob._decode_doc_bytes(memoryview(sec), len(db), dl + 1)
+    with pytest.raises(EngineError):
+        blob._decode_doc_bytes(memoryview(sec[:10]), len(db), dl)
