@@ -284,8 +284,10 @@ def _encode_template(doc_bytes: bytes, doc_lens: np.ndarray) -> bytes | None:
             return None  # non-ascii-digit slipped through (defensive)
         pows = 10 ** (max_l - 1 - c)
         vals = digs @ pows
-        pv, _ = core.encode_array(vals, codec="auto")
-        pl, _ = core.encode_array(L, codec="auto")
+        # depth=1: sub-payload semantics (no top-level FSST gate — these are
+        # small int streams where training can never pay for its table)
+        pv, _ = core.encode_array(vals, codec="auto", depth=1)
+        pl, _ = core.encode_array(L, codec="auto", depth=1)
         parts.extend((_U32.pack(len(pv)), pv, _U32.pack(len(pl)), pl))
     return b"".join(parts)
 
@@ -382,7 +384,7 @@ def _encode_doc_section(
     if tmpl is not None and len(tmpl) < len(raw):
         return tmpl, None
     lcp, suf = _front_code(doc_bytes, doc_lens)
-    lcp_payload, _ = core.encode_array(lcp, codec="auto")
+    lcp_payload, _ = core.encode_array(lcp, codec="auto", depth=1)
     inner, used = _encode_doc_bytes(suf, cached_tables)
     fc = b"\x02" + _U32.pack(len(lcp_payload)) + lcp_payload + inner
     return (fc, used) if len(fc) < len(raw) else (raw, None)
@@ -476,8 +478,8 @@ def encode_chunk(
         )
     stats = core.ChunkStats.analyze(values)
     val_payload, vcodec = core.encode_array(values, codec=codec, stats=stats)
-    len_payload, _ = core.encode_array(lengths, codec="auto")
-    dl_payload, _ = core.encode_array(doc_lens, codec="auto")
+    len_payload, _ = core.encode_array(lengths, codec="auto", depth=1)
+    dl_payload, _ = core.encode_array(doc_lens, codec="auto", depth=1)
     doc_enc, doc_tables = _encode_doc_section(doc_bytes, doc_lens, doc_fsst_cache)
     doc_sec = _U32.pack(len(dl_payload)) + dl_payload + doc_enc
     body = doc_sec + len_payload + val_payload

@@ -86,9 +86,10 @@ CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 _DEPTH_CANDIDATES = {
     0: ("bitpack", "for", "delta", "rle", "dict", "patch", "pfor", "plain"),
     1: ("bitpack", "for", "delta", "rle", "patch", "pfor", "plain"),
-    2: ("bitpack", "for", "plain"),
+    2: ("bitpack", "for", "delta", "patch", "pfor", "plain"),
+    3: ("bitpack", "for", "plain"),
 }
-_MAX_DEPTH = 2
+_MAX_DEPTH = 3
 
 _U32 = struct.Struct("<I")
 _HDR_PLAIN = struct.Struct("<IB")
@@ -324,9 +325,15 @@ def _pfor_plan(resid: np.ndarray, n: int) -> tuple[int, int]:
     hist = np.bincount(bl, minlength=65)
     exc_above = n - np.cumsum(hist)  # exc_above[w] = count with width > w
     max_bits = int(bl.max())
+    if max_bits == 0:
+        return 0, 0  # all residuals zero: plain FOR territory, not pfor's
     best_w, best_cost, best_exc = max_bits, None, 0
     gap_bytes = max(bp.bit_width(n), 1) / 8 + 0.5  # approx per-exception gap
-    for w in range(max_bits + 1):
+    # w starts at 1: the w=0 degenerate (everything is an exception except
+    # one value) is exactly the mode-based patch codec, already a candidate
+    # — and excluding it makes the pfor lower bound (>= 1 packed bit/value)
+    # exact, so pruning stays lossless
+    for w in range(1, max_bits + 1):
         n_exc = int(exc_above[w])
         cost = (
             bp.packed_size(n, w)
@@ -430,9 +437,9 @@ def encode_array(
                 return plain, "plain"
         return out, codec
     if stats is None:
-        # deep stats (unique + counts) through depth 1 so dict gating is
+        # deep stats (unique + counts) through depth 2 so dict gating is
         # exact and patch can see the mode of delta/index sub-streams
-        stats = ChunkStats.analyze(v, deep=(depth <= 1))
+        stats = ChunkStats.analyze(v, deep=(depth <= 2))
     names = _DEPTH_CANDIDATES[min(depth, _MAX_DEPTH)]
     est = estimate_sizes(stats)
     lb = _lower_bounds(stats)
@@ -501,6 +508,9 @@ def _lower_bounds(s: ChunkStats) -> dict[str, int]:
     out["dict"] = 18 + s.n_distinct // 8
     if s.mode_count:
         out["patch"] = 25 + (s.n - s.mode_count) // 8
+    # pfor packs >= 1 bit per value unless one value dominates — and the
+    # w=0 degenerate case is exactly patch, which is already a candidate
+    out["pfor"] = 30 + n // 8
     return out
 
 
