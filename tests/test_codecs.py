@@ -241,3 +241,12 @@ def test_patch_corruption_detected():
     enc[1 + 8 + 4] ^= 0x01  # n_exc tamper
     with pytest.raises(EngineError):
         core.decode_array(bytes(enc))
+
+
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_patch_pfor_roundtrip_property(xs):
+    v = np.array(xs, dtype=np.int64)
+    for enc_fn in (core._encode_patch, core._encode_pfor):
+        p = enc_fn(v, 0)
+        np.testing.assert_array_equal(core.decode_array(p), v)
