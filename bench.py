@@ -19,7 +19,7 @@ import time
 from pyspark.sql import functions as F
 
 from copybook_rs_spark.config import EncodeConfig
-from copybook_rs_spark.operators import decode_tokens, encode_tokens
+from copybook_rs_spark.operators import decode_tokens, encode_tokens, prepare_grouped
 from copybook_rs_spark.operators.verify import hash_mismatched_sources
 
 from copybook_rs_spark.session import get_spark
@@ -61,6 +61,15 @@ def main() -> None:
         t = time.perf_counter()
         encode_tokens(tok, cfg).count()
         times["encode_warm_nosink"] = time.perf_counter() - t
+
+        # zero-shuffle fast path over a pre-grouped layout (the persisted-
+        # bucketed-input case at cluster scale; byte-identical chunks)
+        grouped = prepare_grouped(tok, cfg).cache()
+        grouped.count()
+        t = time.perf_counter()
+        encode_tokens(grouped, cfg, pregrouped=True).count()
+        times["encode_pregrouped_nosink"] = time.perf_counter() - t
+        grouped.unpersist()
 
         chunks = read_chunks(spark, out)
         t = time.perf_counter()
@@ -118,6 +127,9 @@ def main() -> None:
             "encode_tokens_per_sec": round(n_tokens / times["encode_write"]),
             "encode_warm_tokens_per_sec": round(
                 n_tokens / times["encode_warm_nosink"]
+            ),
+            "encode_pregrouped_tokens_per_sec": round(
+                n_tokens / times["encode_pregrouped_nosink"]
             ),
             "decode_tokens_per_sec": round(n_tokens / times["decode"]),
             "bytes_per_token": round(int(sizes["enc"]) / n_tokens, 4),
