@@ -84,7 +84,7 @@ def _fsst_apply(
     kept = []
     for t in tables:
         nxt = np.frombuffer(fsst_mod.compress(streams[-1], t), dtype=np.uint8)
-        if len(nxt) + len(t.serialize()) > 0.96 * len(streams[-1]):
+        if len(nxt) + len(t.serialize()) > fsst_mod.MIN_GAIN * len(streams[-1]):
             break
         streams.append(nxt)
         kept.append(t)
@@ -144,9 +144,19 @@ def _encode_doc_bytes(
     return best, used
 
 
+# front-coding works on an (n x longest-id) padded byte matrix; cap the
+# allocation so one pathological multi-KB id in a 64Ki-row chunk cannot
+# blow executor memory (over the cap the section falls back to the linear
+# raw/FSST path — same decode contract, no 2D matrix on either side)
+_FC_MAX_ID_LEN = 4096
+_FC_MAX_CELLS = 1 << 26
+
+
 def _front_code(doc_bytes: bytes, doc_lens: np.ndarray) -> tuple[np.ndarray, bytes]:
     """(lcp int64 array, concatenated suffix bytes) — lcp[i] = bytes shared
-    with id i-1 (lcp[0] = 0). Vectorized via a padded 2D byte matrix."""
+    with id i-1 (lcp[0] = 0). Vectorized via a padded 2D byte matrix.
+    Over the matrix cap, returns the degenerate all-zero lcp (suffixes ==
+    full ids), which both sides handle without the matrix."""
     n = len(doc_lens)
     if n == 0:
         return np.zeros(0, dtype=np.int64), b""
@@ -155,6 +165,8 @@ def _front_code(doc_bytes: bytes, doc_lens: np.ndarray) -> tuple[np.ndarray, byt
     maxlen = int(lens.max()) if n else 0
     if maxlen == 0:
         return np.zeros(n, dtype=np.int64), b""
+    if maxlen > _FC_MAX_ID_LEN or n * maxlen > _FC_MAX_CELLS:
+        return np.zeros(n, dtype=np.int64), doc_bytes
     cols = np.arange(maxlen)
     mask = cols < lens[:, None]
     pad = np.zeros((n, maxlen), dtype=np.uint8)
@@ -197,6 +209,13 @@ def _front_decode(
     expected = int(suf_lens.sum())
     if expected != len(suf_stream):
         raise CountMismatchError("front-code suffix stream length mismatch")
+    if not lcp.any():
+        return bytes(suf_stream)  # degenerate (capped) encoding: no matrix
+    maxlen_chk = int(lens.max())
+    if maxlen_chk > _FC_MAX_ID_LEN or n * maxlen_chk > _FC_MAX_CELLS:
+        # our encoder never front-codes past the cap; refuse rather than
+        # allocate an attacker-sized matrix
+        raise PayloadCorruptError("front-code matrix over size cap")
     suf = np.frombuffer(suf_stream, dtype=np.uint8)
     suf_offs = np.zeros(n, dtype=np.int64)
     np.cumsum(suf_lens[:-1], out=suf_offs[1:])

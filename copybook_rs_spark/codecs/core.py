@@ -288,6 +288,29 @@ def _encode_dict(vals: np.ndarray, depth: int, stats: ChunkStats | None = None) 
 _HDR_PATCH = struct.Struct("<IqI")
 
 
+def _exc_gaps(exc_idx: np.ndarray) -> np.ndarray:
+    """Exception positions -> gap stream (gaps[0] = first position)."""
+    return (
+        np.diff(exc_idx, prepend=0)
+        if len(exc_idx)
+        else np.empty(0, np.int64)
+    )
+
+
+def _exc_positions(gaps: np.ndarray, n: int, what: str) -> np.ndarray:
+    """Inverse of _exc_gaps with full corruption validation: positions must
+    be strictly increasing and in [0, n). int64 cumsum overflow from
+    adversarial gaps surfaces as a negative prefix sum (the first prefix
+    past 2^63 goes negative), so `(pos < 0).any()` makes the bound check
+    rigorous — corrupt payloads raise typed errors, never IndexError."""
+    if gaps[0] < 0 or (len(gaps) > 1 and (gaps[1:] < 1).any()):
+        raise PayloadCorruptError(f"{what}: non-increasing positions")
+    pos = np.cumsum(gaps)
+    if (pos < 0).any() or pos[-1] >= n:
+        raise PayloadCorruptError(f"{what}: position out of range")
+    return pos
+
+
 def _encode_patch(vals: np.ndarray, depth: int, stats: ChunkStats | None = None) -> bytes:
     v = np.ascontiguousarray(vals, dtype=np.int64)
     n = len(v)
@@ -301,9 +324,7 @@ def _encode_patch(vals: np.ndarray, depth: int, stats: ChunkStats | None = None)
     else:
         mode = int(uniq[np.argmax(counts)])  # argmax: first max = smallest value
         exc_idx = np.flatnonzero(v != mode)
-    gaps = np.diff(exc_idx, prepend=0) if len(exc_idx) else np.empty(0, np.int64)
-    if len(exc_idx):
-        gaps[0] = exc_idx[0]
+    gaps = _exc_gaps(exc_idx)
     sub_pos, _ = encode_array(gaps, codec="auto", depth=depth + 1)
     sub_val, _ = encode_array(v[exc_idx], codec="auto", depth=depth + 1)
     return (
@@ -364,9 +385,7 @@ def _encode_pfor(vals: np.ndarray, depth: int) -> bytes:
     exc_idx = np.flatnonzero(exc_mask)
     low = (resid & (_POW2[w] - np.uint64(1))) if w < 64 else resid
     packed = bp.pack(low, w)
-    gaps = np.diff(exc_idx, prepend=0) if len(exc_idx) else np.empty(0, np.int64)
-    if len(exc_idx):
-        gaps[0] = exc_idx[0]
+    gaps = _exc_gaps(exc_idx)
     high = (resid[exc_idx] >> np.uint64(w)).view(np.int64) if w < 64 else np.empty(0, np.int64)
     sub_pos, _ = encode_array(gaps, codec="auto", depth=depth + 1)
     sub_high, _ = encode_array(high, codec="auto", depth=depth + 1)
@@ -450,9 +469,12 @@ def encode_array(
     names = _DEPTH_CANDIDATES[min(depth, _MAX_DEPTH)]
     est = estimate_sizes(stats)
     lb = _lower_bounds(stats)
-    # best-estimate-first with safe lower-bound pruning: a skipped candidate
-    # provably cannot be strictly smaller than the current best, so the
-    # selected codec equals full try-encode's choice (cheaper, deterministic)
+    # best-estimate-first with lower-bound pruning. The lb skips are exact
+    # (a skipped candidate provably cannot be strictly smaller than the
+    # current best); the rle/dict gates below are deliberate heuristics —
+    # the structures they might miss (periodic/low-cardinality streams)
+    # are exactly what patch/pfor capture directly. Deterministic either
+    # way: every decision is a pure function of the data.
     ordered = sorted(
         (n for n in names),
         key=lambda n: (est.get(n, 1 << 60), names.index(n)),
@@ -463,9 +485,10 @@ def encode_array(
         if name == "bitpack" and stats.n and stats.vmin < 0:
             continue
         if name == "rle" and stats.n_runs > max(stats.n // 2, 4):
-            continue  # 2 sub-values per run can't beat bitpack
+            continue  # heuristic: run-dominated wins at this density are
+            # periodic structures patch/pfor capture on the original stream
         if name == "dict" and stats.n_distinct > max(stats.n // 2, 4):
-            continue
+            continue  # heuristic, same reasoning
         if name == "patch" and (
             stats.mode_count == 0  # mode unknown (shallow stats): skip
             or stats.n - stats.mode_count > max(stats.n // 2, 4)
@@ -498,9 +521,14 @@ def _lower_bounds(s: ChunkStats) -> dict[str, int]:
     """Safe per-codec size minima (cascades included): used to SKIP a
     candidate only when it provably cannot beat the current best.
 
-    plain/bitpack/for are closed-form exact (their layouts have no
-    cascades); delta/rle/dict bounds assume the most favorable imaginable
-    sub-encoding (>= 1 bit per run/element that must be stored)."""
+    plain/bitpack/for/pfor are closed-form exact for their non-cascaded
+    part (pfor packs >= 1 bit per value by construction — its w=0
+    degenerate case is patch). The cascading codecs (delta/rle/dict/patch)
+    get only their fixed framing as the bound: with patch/pfor in the
+    cascade, a periodic sub-stream can legally compress to O(1) bytes
+    (constant exception gaps + constant exception values -> FOR width 0),
+    so any per-element term would wrongly prune a winning candidate —
+    measured: tile([0,7], 32768) patch-encodes to 82 bytes."""
     n = s.n
     out: dict[str, int] = {}
     out["plain"] = 1 + 6 + (4 * n if -(2**31) <= s.vmin and s.vmax < 2**31 else 8 * n)
@@ -510,13 +538,10 @@ def _lower_bounds(s: ChunkStats) -> dict[str, int]:
         6 + bp.packed_size(n, bp.bit_width(s.vmax - s.vmin)),
         6 + (4 * n if s.vmax - s.vmin < 2**31 else 8 * n),
     ) if n else 20
-    out["delta"] = 10 + s.n_delta_runs // 8
-    out["rle"] = 18 + s.n_runs // 8
-    out["dict"] = 18 + s.n_distinct // 8
-    if s.mode_count:
-        out["patch"] = 25 + (s.n - s.mode_count) // 8
-    # pfor packs >= 1 bit per value unless one value dominates — and the
-    # w=0 degenerate case is exactly patch, which is already a candidate
+    out["delta"] = 11
+    out["rle"] = 21
+    out["dict"] = 21
+    out["patch"] = 29
     out["pfor"] = 30 + n // 8
     return out
 
@@ -674,11 +699,7 @@ def decode_array(payload: bytes | memoryview) -> np.ndarray:
         if w == 64 and n_exc:
             raise PayloadCorruptError("pfor: exceptions at full width")
         if n_exc:
-            if (gaps[1:] < 1).any() or gaps[0] < 0:
-                raise PayloadCorruptError("pfor: non-increasing positions")
-            pos = np.cumsum(gaps)
-            if pos[-1] >= n:
-                raise PayloadCorruptError("pfor: position out of range")
+            pos = _exc_positions(gaps, n, "pfor")
             resid[pos] |= high.view(np.uint64) << np.uint64(w)
         return (resid + np.uint64(ref % (1 << 64))).view(np.int64)
     if cid == CODEC_PATCH:
@@ -702,11 +723,7 @@ def decode_array(payload: bytes | memoryview) -> np.ndarray:
             raise PayloadCorruptError("patch: more exceptions than values")
         out = np.full(n, mode, dtype=np.int64)
         if n_exc:
-            if (gaps[1:] < 1).any() or gaps[0] < 0:
-                raise PayloadCorruptError("patch: non-increasing positions")
-            pos = np.cumsum(gaps)
-            if pos[-1] >= n:
-                raise PayloadCorruptError("patch: position out of range")
+            pos = _exc_positions(gaps, n, "patch")
             out[pos] = exc_vals
         return out
     if cid == CODEC_FSST:

@@ -304,8 +304,11 @@ _LEN_MASKS = np.array([_len_mask(L) for L in range(MAX_SYM_LEN + 1)], dtype=np.u
 _STACK_RATIO = 0.55
 
 
+MIN_GAIN = 0.96  # a pass must shrink the stream below this ratio to keep
+
+
 def compress_multi(
-    data: np.ndarray, max_passes: int = 2, min_gain: float = 0.96
+    data: np.ndarray, max_passes: int = 2, min_gain: float = MIN_GAIN
 ) -> tuple[list["SymbolTable"], list[np.ndarray]]:
     """Stack compression passes while each shrinks the stream enough to pay
     for its table. With 8-byte symbols a single pass usually wins; another

@@ -48,16 +48,23 @@ def write_encoded(
     chunk_df.write.mode(mode).partitionBy("source").parquet(chunks_path)
     spark = chunk_df.sparkSession
     written = spark.read.parquet(chunks_path)
-    # guard: a (source, part_id) group split across tasks (pregrouped-path
-    # misuse the per-task CBSP300 checks cannot see) surfaces as duplicate
-    # chunk_ids — cheap agg over pruned columns, blob column never read
-    dupes = written.groupBy("chunk_id").count().filter(F.col("count") > 1)
+    assert_unique_chunk_ids(written)
+    build_manifest(written).write.mode(mode).parquet(manifest_path)
+
+
+def assert_unique_chunk_ids(chunks: DataFrame) -> None:
+    """Guard: a (source, part_id) group split across tasks (pregrouped-path
+    misuse the per-task CBSP300 checks cannot see, e.g. a stored part file
+    larger than maxPartitionBytes splitting at a row-group boundary)
+    surfaces as duplicate chunk_ids. Cheap agg over the pruned chunk_id
+    column — the blob column is never read. Every chunk-table write path
+    must call this."""
+    dupes = chunks.groupBy("chunk_id").count().filter(F.col("count") > 1)
     if dupes.limit(1).count():
         raise PipelineContractError(
             "duplicate chunk_ids in written output — a (source, part_id) "
             "group was split across partitions (pregrouped contract broken)"
         )
-    build_manifest(written).write.mode(mode).parquet(manifest_path)
 
 
 def read_chunks(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -91,6 +91,12 @@ def main() -> int:
         chunk_df.write.mode(mode).partitionBy("source").parquet(
             args.output + "/chunks"
         )
+        # group-split guard (critical for --pregrouped: a stored part file
+        # bigger than maxPartitionBytes can split mid-group at a row-group
+        # boundary, which per-task checks cannot see)
+        mani.assert_unique_chunk_ids(
+            spark.read.parquet(args.output + "/chunks")
+        )
         mani.build_manifest(
             spark.read.parquet(args.output + "/chunks")
         ).write.mode("overwrite").parquet(args.output + "/manifest")

@@ -250,3 +250,32 @@ def test_patch_pfor_roundtrip_property(xs):
     for enc_fn in (core._encode_patch, core._encode_pfor):
         p = enc_fn(v, 0)
         np.testing.assert_array_equal(core.decode_array(p), v)
+
+
+def test_periodic_stream_selection_not_pruned():
+    # regression: the old patch 'lower bound' wrongly pruned the winning
+    # candidate on periodic streams (review finding, 2026-08-16)
+    v = np.tile(np.array([0, 7], dtype=np.int64), 32768)
+    p, name = core.encode_array(v, "auto")
+    np.testing.assert_array_equal(core.decode_array(p), v)
+    assert len(p) <= len(core._encode_patch(v, 0))
+    v2 = np.where(np.arange(8192) % 4 == 0, 9, 2).astype(np.int64)
+    p2, _ = core.encode_array(v2, "auto")
+    np.testing.assert_array_equal(core.decode_array(p2), v2)
+    assert len(p2) <= len(core._encode_patch(v2, 0))
+
+
+def test_exception_gap_overflow_raises_typed_error():
+    # regression: adversarial gaps whose cumsum wraps int64 must raise a
+    # typed CBSP error, never a raw numpy IndexError
+    gaps = np.array([5, 2**63 - 1], dtype=np.int64)
+    payload = (
+        bytes([core.CODEC_PATCH])
+        + core._HDR_PATCH.pack(100, 0, 2)
+        + core._U32.pack(len(g := core.encode_array(gaps, "plain")[0]))
+        + g
+        + core._U32.pack(len(x := core.encode_array(np.array([1, 2], dtype=np.int64), "plain")[0]))
+        + x
+    )
+    with pytest.raises(EngineError):
+        core.decode_array(payload)
