@@ -113,6 +113,20 @@ def _q_topk_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_proj_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # storage-level projection pushdown: decode ONLY (doc_id, n_tok) from
+    # the encoded chunk table — the values section is never decompressed
+    # (operators/decode.py columns=). Oracle: same projection of the input.
+    from copybook_rs_spark.config import EncodeConfig
+    from copybook_rs_spark.operators import decode_tokens, encode_tokens
+
+    tok = token_table(spark, sf_dir)
+    cfg = EncodeConfig(
+        chunk_values=4096, target_values_per_part=16_384, shuffle_partitions=8
+    )
+    return decode_tokens(encode_tokens(tok, cfg), columns=["doc_id", "n_tok"])
+
+
 def _q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A3/dict-codec sizing at vocabulary granularity: global top-20 tokens
     # by frequency, deterministic tie-break on token value.
@@ -313,6 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_agg": _q_manifest_agg,
         "topk_sources": _q_topk_sources,
         "token_histogram": _q_token_histogram,
+        "proj_decode": _q_proj_decode,
         "odo_invariant": _q_odo_invariant,
         "dedup_exact": _q_dedup_exact,
         "lang_histogram": _q_lang_histogram,
@@ -419,6 +434,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, count(*) AS cnt
             FROM (SELECT unnest(tokens) AS token FROM {_TOK})
             GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20
+        """,
+        "proj_decode": f"""
+            SELECT doc_id, n_tok FROM {_TOK}
         """,
         "odo_invariant": f"""
             SELECT source,

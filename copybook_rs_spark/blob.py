@@ -523,8 +523,18 @@ def encode_chunk(
     return header + body, info
 
 
-def decode_chunk(blob: bytes | memoryview) -> tuple[bytes, np.ndarray, np.ndarray, np.ndarray]:
+def decode_chunk(
+    blob: bytes | memoryview,
+    need_docs: bool = True,
+    need_values: bool = True,
+) -> tuple[bytes | None, np.ndarray | None, np.ndarray, np.ndarray | None]:
     """Inverse of encode_chunk -> (doc_bytes, doc_lens, lengths, values).
+
+    Projection pushdown into the blob (the storage-level analogue of the
+    reference's --select closure, crates/copybook-core/src/projection.rs:48):
+    sections decode independently, so need_docs=False skips the doc-id
+    section and need_values=False skips token decompression — the skipped
+    returns are None. The crc32 over the whole body is always verified.
 
     Raises structured CBSP1xx errors on any corruption; never returns wrong
     data (reference corruption-detector stance,
@@ -545,25 +555,32 @@ def decode_chunk(blob: bytes | memoryview) -> tuple[bytes, np.ndarray, np.ndarra
     body = buf[HEADER_LEN:end]
     if (zlib.crc32(body) & 0xFFFFFFFF) != crc:
         raise CrcMismatchError("chunk body crc32 mismatch")
-    doc_sec = body[:sd]
-    if len(doc_sec) < 4:
-        raise HeaderInvalidError("doc section too short")
-    (dl_len,) = _U32.unpack_from(doc_sec)
-    if 4 + dl_len > sd:
-        raise HeaderInvalidError("doc-length payload overruns section")
-    doc_lens = core.decode_array(doc_sec[4 : 4 + dl_len])
-    if len(doc_lens) != n_rows:
-        raise CountMismatchError("doc_lens count != n_rows")
-    expected_doc_len = int(doc_lens.sum()) if n_rows else 0
-    doc_bytes = _decode_doc_bytes(doc_sec[4 + dl_len :], expected_doc_len, doc_lens)
-    if len(doc_bytes) != expected_doc_len:
-        raise CountMismatchError("doc_id bytes length mismatch")
+    doc_bytes: bytes | None = None
+    doc_lens: np.ndarray | None = None
+    if need_docs:
+        doc_sec = body[:sd]
+        if len(doc_sec) < 4:
+            raise HeaderInvalidError("doc section too short")
+        (dl_len,) = _U32.unpack_from(doc_sec)
+        if 4 + dl_len > sd:
+            raise HeaderInvalidError("doc-length payload overruns section")
+        doc_lens = core.decode_array(doc_sec[4 : 4 + dl_len])
+        if len(doc_lens) != n_rows:
+            raise CountMismatchError("doc_lens count != n_rows")
+        expected_doc_len = int(doc_lens.sum()) if n_rows else 0
+        doc_bytes = _decode_doc_bytes(
+            doc_sec[4 + dl_len :], expected_doc_len, doc_lens
+        )
+        if len(doc_bytes) != expected_doc_len:
+            raise CountMismatchError("doc_id bytes length mismatch")
     lengths = core.decode_array(body[sd : sd + sl])
     if len(lengths) != n_rows:
         raise CountMismatchError("lengths count != n_rows")
-    values = core.decode_array(body[sd + sl : sd + sl + sv])
-    if len(values) != n_values:
-        raise CountMismatchError("values count != n_values")
     if n_rows and int(lengths.sum()) != n_values:
         raise CountMismatchError("sum(lengths) != n_values")
+    values: np.ndarray | None = None
+    if need_values:
+        values = core.decode_array(body[sd + sl : sd + sl + sv])
+        if len(values) != n_values:
+            raise CountMismatchError("values count != n_values")
     return doc_bytes, doc_lens, lengths, values

@@ -194,3 +194,29 @@ def test_hash_verify_passes_and_catches_corruption(spark, tok_df):
         ).otherwise(F.col("tokens")),
     )
     assert hash_mismatched_sources(tok_df, mutated).count() >= 1
+
+
+def test_decode_projection_pushdown(spark, tok_df):
+    """columns= pushes projection into the blob: results equal the full
+    decode projected, and the values section is never decompressed."""
+    chunks = encode_tokens(tok_df, CFG).cache()
+    full = decode_tokens(chunks).select("doc_id", "n_tok")
+    part = decode_tokens(chunks, columns=["doc_id", "n_tok"])
+    assert part.columns == ["doc_id", "n_tok"]
+    assert full.exceptAll(part).count() == 0
+    assert part.exceptAll(full).count() == 0
+    # tokens-only variant round-trips values without the doc section
+    toks = decode_tokens(chunks, columns=["tokens", "source"])
+    assert toks.columns == ["tokens", "source"]
+    got = int(toks.selectExpr("sum(size(tokens)) s").collect()[0]["s"])
+    want = int(tok_df.selectExpr("sum(n_tok) s").collect()[0]["s"])
+    assert got == want
+    chunks.unpersist()
+
+
+def test_decode_projection_unknown_column_raises(spark, tok_df):
+    from copybook_rs_spark.functions.projection import UnknownColumnError
+
+    chunks = encode_tokens(tok_df, CFG)
+    with pytest.raises(UnknownColumnError):
+        decode_tokens(chunks, columns=["doc_id", "nope"])
