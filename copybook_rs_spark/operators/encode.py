@@ -348,6 +348,24 @@ def prepare_grouped(
     return repartition_for_encode(with_part_id(df, salts), num_parts)
 
 
+def compact_chunks(
+    chunk_df: DataFrame,
+    cfg: EncodeConfig | None = None,
+    salts: dict[str, int] | None = None,
+) -> DataFrame:
+    """Re-encode a chunk table into canonical form (Iceberg-style table
+    maintenance): incremental/streaming appends accumulate per-batch chunk
+    cuts and batch-prefixed chunk ids; compaction decodes and re-encodes.
+    Because group membership, intra-group order, chunk cuts and blob bytes
+    are all pure functions of the DATA (CLAUDE.md invariant 2), the output
+    is byte-identical to a fresh full encode of the underlying token table,
+    no matter how many batches produced the input — asserted in
+    tests/test_spark_pipeline.py::test_compaction_restores_canonical_chunks."""
+    from copybook_rs_spark.operators.decode import decode_tokens
+
+    return encode_tokens(decode_tokens(chunk_df), cfg, salts=salts)
+
+
 def encode_tokens(
     df: DataFrame,
     cfg: EncodeConfig | None = None,

@@ -220,3 +220,28 @@ def test_decode_projection_unknown_column_raises(spark, tok_df):
     chunks = encode_tokens(tok_df, CFG)
     with pytest.raises(UnknownColumnError):
         decode_tokens(chunks, columns=["doc_id", "nope"])
+
+
+def test_compaction_restores_canonical_chunks(spark, tok_df):
+    """Three incremental batch encodes (batch-prefixed chunk ids, per-batch
+    cuts) -> compact_chunks == fresh full encode, byte-identically."""
+    from copybook_rs_spark.operators import compact_chunks
+
+    salts = plan_salts(tok_df, CFG.target_values_per_part, CFG.max_salt,
+                       chunk_floor=CFG.chunk_values)
+    parts = tok_df.randomSplit([1.0, 1.0, 1.0], seed=17)
+    batches = []
+    for i, p in enumerate(parts):
+        batches.append(
+            encode_tokens(p, CFG, salts=salts).withColumn(
+                "chunk_id", F.concat(F.lit(f"b{i:08d}/"), F.col("chunk_id"))
+            )
+        )
+    incremental = batches[0].unionAll(batches[1]).unionAll(batches[2])
+    compacted = compact_chunks(incremental, CFG, salts=salts)
+    fresh = encode_tokens(tok_df, CFG, salts=salts)
+    a = sorted((r["chunk_id"], r["crc32"], r["enc_bytes"])
+               for r in compacted.select("chunk_id", "crc32", "enc_bytes").collect())
+    b = sorted((r["chunk_id"], r["crc32"], r["enc_bytes"])
+               for r in fresh.select("chunk_id", "crc32", "enc_bytes").collect())
+    assert a == b
