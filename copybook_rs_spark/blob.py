@@ -39,7 +39,17 @@ Layout (little-endian):
       edited_pic.rs:88/:295/:642.)
       then per field: len:u32 values-payload len:u32 digit-lens-payload
   lengths section: int payload (n_tok per document)
-  values section : int payload (all token values, document-major)
+  values section : mode:u8 then
+    mode 0: int payload (all token values, document-major)
+    mode 1: doc-aware split — f_len:u32 firsts-payload intra-payload.
+      firsts = first token of every non-empty document; intra = zigzag
+      within-document deltas (document boundaries are NOT stored: they are
+      derived from the lengths section, which decodes first). Token
+      sequences are near-arithmetic inside a document, so the intra stream
+      collapses to O(1) via FOR/patch and the cross-document jumps never
+      poison the delta width (ODO-style correlated decode: the counter
+      field drives the array slicing, crates/copybook-codec/src/
+      odo_redefines.rs). Smaller mode wins, deterministically.
 
 Everything in the blob is a pure function of (doc_ids, tokens) content — no
 timestamps, no task ids — so encode is deterministic across runs and
@@ -56,6 +66,7 @@ import numpy as np
 from copybook_rs_spark.codecs import bitpack as bp
 from copybook_rs_spark.codecs import core
 from copybook_rs_spark.codecs import fsst as fsst_mod
+from copybook_rs_spark.codecs import varint as vi
 from copybook_rs_spark.errors import (
     BadMagicError,
     BadVersionError,
@@ -474,6 +485,84 @@ def _decode_doc_bytes(
     return fsst_mod.decompress_multi(final, tables, lens).tobytes()
 
 
+def _encode_values(
+    values: np.ndarray,
+    lengths: np.ndarray,
+    codec: str,
+    stats: "core.ChunkStats",
+) -> tuple[bytes, str]:
+    """Values section: best of mode 0 (plain int payload) and mode 1
+    (doc-aware firsts + within-doc deltas; boundaries from lengths)."""
+    plain_payload, vname = core.encode_array(values, codec=codec, stats=stats)
+    best = b"\x00" + plain_payload
+    best_name = vname
+    n = len(values)
+    n_docs = len(lengths)
+    if n >= 64 and n_docs >= 2 and codec == "auto":
+        lens = np.ascontiguousarray(lengths, dtype=np.int64)
+        starts = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        nonempty = lens > 0
+        ne_starts = starts[nonempty]
+        firsts = values[ne_starts]
+        is_start = np.zeros(n, dtype=bool)
+        is_start[ne_starts] = True
+        vu = np.ascontiguousarray(values, dtype=np.int64).view(np.uint64)
+        d = np.empty(n, dtype=np.uint64)
+        d[0] = 0
+        np.subtract(vu[1:], vu[:-1], out=d[1:])  # modular
+        intra = vi.zigzag_encode(d[~is_start].view(np.int64)).view(np.int64)
+        pf, _ = core.encode_array(firsts, codec="auto", depth=1)
+        pi, _ = core.encode_array(intra, codec="auto", depth=1)
+        cand = b"\x01" + _U32.pack(len(pf)) + pf + pi
+        if len(cand) < len(best):
+            best = cand
+            best_name = "docdelta"
+    return best, best_name
+
+
+def _decode_values(buf: memoryview, n_values: int, lengths: np.ndarray) -> np.ndarray:
+    if len(buf) < 1:
+        raise HeaderInvalidError("values section mode byte missing")
+    mode = buf[0]
+    body = buf[1:]
+    if mode == 0:
+        return core.decode_array(body)
+    if mode != 1:
+        raise HeaderInvalidError(f"unknown values section mode {mode}")
+    if len(body) < 4:
+        raise TruncatedBlobError("doc-aware values header truncated")
+    (f_len,) = _U32.unpack_from(body)
+    if len(body) < 4 + f_len:
+        raise TruncatedBlobError("doc-aware firsts truncated")
+    firsts = core.decode_array(body[4 : 4 + f_len])
+    intra_zz = core.decode_array(body[4 + f_len :])
+    lens = np.ascontiguousarray(lengths, dtype=np.int64)
+    n_docs = len(lens)
+    starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    nonempty = lens > 0
+    ne_starts = starts[nonempty]
+    k = int(nonempty.sum())
+    if len(firsts) != k:
+        raise CountMismatchError("doc-aware values: firsts count mismatch")
+    if len(intra_zz) != n_values - k:
+        raise CountMismatchError("doc-aware values: intra count mismatch")
+    intra = vi.zigzag_decode(intra_zz.view(np.uint64))
+    is_start = np.zeros(n_values, dtype=bool)
+    is_start[ne_starts] = True
+    d = np.zeros(n_values, dtype=np.uint64)
+    d[~is_start] = intra.view(np.uint64)
+    c = np.cumsum(d)  # modular prefix of within-doc deltas (0 at doc starts)
+    doc_of = np.repeat(np.arange(k, dtype=np.int64), lens[nonempty])
+    out = (
+        firsts.view(np.uint64)[doc_of]
+        + c
+        - c[ne_starts][doc_of]
+    )
+    return out.view(np.int64)
+
+
 def encode_chunk(
     doc_bytes: bytes,
     doc_lens: np.ndarray,
@@ -496,7 +585,7 @@ def encode_chunk(
             f"sum(lengths)={n_values} but {len(values)} values given"
         )
     stats = core.ChunkStats.analyze(values)
-    val_payload, vcodec = core.encode_array(values, codec=codec, stats=stats)
+    val_payload, vcodec = _encode_values(values, lengths, codec, stats)
     len_payload, _ = core.encode_array(lengths, codec="auto", depth=1)
     dl_payload, _ = core.encode_array(doc_lens, codec="auto", depth=1)
     doc_enc, doc_tables = _encode_doc_section(doc_bytes, doc_lens, doc_fsst_cache)
@@ -580,7 +669,7 @@ def decode_chunk(
         raise CountMismatchError("sum(lengths) != n_values")
     values: np.ndarray | None = None
     if need_values:
-        values = core.decode_array(body[sd + sl : sd + sl + sv])
+        values = _decode_values(body[sd + sl : sd + sl + sv], n_values, lengths)
         if len(values) != n_values:
             raise CountMismatchError("values count != n_values")
     return doc_bytes, doc_lens, lengths, values

@@ -68,6 +68,8 @@ CODEC_FSST = 5
 CODEC_DELTA = 6
 CODEC_PATCH = 7
 CODEC_PFOR = 8
+CODEC_DOCDELTA = 9  # blob-level values-section mode 1 (blob.py); reported
+# in the chunk header/manifest, never a payload codec id
 
 CODEC_NAMES = {
     CODEC_PLAIN: "plain",
@@ -79,6 +81,7 @@ CODEC_NAMES = {
     CODEC_DELTA: "delta",
     CODEC_PATCH: "patch",
     CODEC_PFOR: "pfor",
+    CODEC_DOCDELTA: "docdelta",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
