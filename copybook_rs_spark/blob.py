@@ -417,7 +417,10 @@ def _encode_doc_section(
     lcp_payload, _ = core.encode_array(lcp, codec="auto", depth=1)
     inner, used = _encode_doc_bytes(suf, cached_tables)
     fc = b"\x02" + _U32.pack(len(lcp_payload)) + lcp_payload + inner
-    return (fc, used) if len(fc) < len(raw) else (raw, None)
+    # propagate the FSST outcome marker even when raw wins, so a group whose
+    # chunks keep choosing raw caches the "tried and lost" [] and never
+    # retrains (the tables are only a hint; chunk bytes are unaffected)
+    return (fc, used) if len(fc) < len(raw) else (raw, used)
 
 
 def _decode_doc_bytes(
@@ -656,6 +659,8 @@ def decode_chunk(
         doc_lens = core.decode_array(doc_sec[4 : 4 + dl_len])
         if len(doc_lens) != n_rows:
             raise CountMismatchError("doc_lens count != n_rows")
+        if n_rows and (doc_lens < 0).any():
+            raise PayloadCorruptError("negative doc_id length")
         expected_doc_len = int(doc_lens.sum()) if n_rows else 0
         doc_bytes = _decode_doc_bytes(
             doc_sec[4 + dl_len :], expected_doc_len, doc_lens
@@ -665,6 +670,8 @@ def decode_chunk(
     lengths = core.decode_array(body[sd : sd + sl])
     if len(lengths) != n_rows:
         raise CountMismatchError("lengths count != n_rows")
+    if n_rows and (lengths < 0).any():
+        raise PayloadCorruptError("negative token count")
     if n_rows and int(lengths.sum()) != n_values:
         raise CountMismatchError("sum(lengths) != n_values")
     values: np.ndarray | None = None

@@ -21,6 +21,9 @@ def roundtrip_mismatches(df: DataFrame, cfg: EncodeConfig | None = None) -> Data
 
     Sort-merge/hash equi-join on doc_id — built-in, test-scale only
     (SURVEY.md §2.3); production verification samples per partition.
+    ASSUMES unique doc_ids (the join pairs every left dup with every right
+    dup); for inputs with duplicate ids use hash_mismatched_sources, whose
+    commutative digest sums verify the multiset exactly.
     """
     decoded = decode_tokens(encode_tokens(df, cfg))
     a = df.select(

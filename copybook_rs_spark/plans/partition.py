@@ -72,7 +72,14 @@ def with_part_id(df: DataFrame, salts: dict[str, int]) -> DataFrame:
 def repartition_for_encode(df: DataFrame, num_partitions: int) -> DataFrame:
     """Co-locate each (source, part_id) group in one task, deterministic
     order within: the Spark translation of the reference's reader->workers->
-    reorder triangle (SURVEY.md §3.1)."""
+    reorder triangle (SURVEY.md §3.1).
+
+    The schema allows duplicate doc_ids; without a tiebreaker their relative
+    order would be shuffle arrival order and chunk bytes would stop being a
+    pure function of the data (invariant 2). xxhash64(tokens) is
+    content-derived, so duplicates sort deterministically; rows that tie on
+    BOTH keys are identical rows (n_tok is derived), where order cannot
+    affect bytes."""
     return df.repartition(num_partitions, "source", "part_id").sortWithinPartitions(
-        "source", "part_id", "doc_id"
+        "source", "part_id", "doc_id", F.xxhash64("tokens")
     )

@@ -37,6 +37,31 @@ def build_manifest(chunk_df: DataFrame) -> DataFrame:
     )
 
 
+def merge_manifest_parts(parts: DataFrame) -> DataFrame:
+    """Re-aggregate per-batch manifest rows into the table-level manifest.
+    Every build_manifest column is mergeable (sums, min/max, set-union of
+    codec names), so incremental writers maintain the manifest in
+    O(batches x groups) instead of re-reading the whole chunk table
+    (streaming/incremental.py). Output is identical to build_manifest over
+    the union of the underlying chunks."""
+    return parts.groupBy("source", "part_id").agg(
+        F.sum("n_chunks").alias("n_chunks"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_values").alias("n_values"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("enc_bytes").alias("enc_bytes"),
+        F.min("min_token").alias("min_token"),
+        F.max("max_token").alias("max_token"),
+        F.first("schema_fp").alias("schema_fp"),
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list(F.split("codecs", ","))))
+            ),
+            ",",
+        ).alias("codecs"),
+    )
+
+
 def write_encoded(
     chunk_df: DataFrame, out_dir: str, mode: str = "overwrite"
 ) -> None:

@@ -5,14 +5,25 @@ Spark translation of the reference's streaming decode loop
 crates/copybook-codec-memory/src/streaming.rs:103 bounded-memory pipeline):
 `readStream` watches a parquet directory, each micro-batch is encoded with
 the SAME deterministic salt plan (fixed at stream start, so group identity
-is stable across batches) and appended to the chunk table; the checkpoint
-directory gives exactly-once micro-batch tracking, and the manifest is
-rebuilt per batch (idempotent aggregation).
+is stable across batches) and committed under its own `batch=` directory.
+
+Per-batch work is O(batch), never O(table):
+
+- chunks land in   chunks/batch=b{id}/source=.../   (mode=overwrite — a
+  replayed batch_id rewrites the same directory, so retries are idempotent
+  and cross-batch chunk_id uniqueness follows from the b{id} prefix;
+  within-batch uniqueness is asserted on the batch's own table)
+- a per-batch manifest lands in manifest_parts/batch=b{id}/ (same
+  idempotent overwrite)
+- the table manifest is re-aggregated from manifest_parts — one row per
+  (batch, group), NOT a rescan of the chunk table
+  (sources/manifest.py:merge_manifest_parts)
 
 Chunk ids get a `batch_id` prefix in part-local sequence space: within one
 micro-batch chunking is deterministic; across batches, arrival order is the
 stream's own ordering (same stance as the reference: stream order is
-preserved, never invented — SURVEY.md §2.6).
+preserved, never invented — SURVEY.md §2.6). A later `compact_chunks` pass
+restores the canonical single-batch layout (operators/encode.py).
 """
 
 from __future__ import annotations
@@ -25,7 +36,32 @@ from pyspark.sql.streaming import StreamingQuery
 from copybook_rs_spark.config import EncodeConfig
 from copybook_rs_spark.operators.decode import TOKEN_SPARK_SCHEMA
 from copybook_rs_spark.operators.encode import encode_tokens
-from copybook_rs_spark.sources.manifest import build_manifest
+from copybook_rs_spark.sources.manifest import (
+    assert_unique_chunk_ids,
+    build_manifest,
+    merge_manifest_parts,
+)
+
+
+def commit_batch(
+    chunk_df: DataFrame, out_dir: str, batch_id: int
+) -> None:
+    """Idempotently commit one micro-batch's chunk table + manifest part,
+    then refresh the table manifest from the (small) manifest parts."""
+    spark = chunk_df.sparkSession
+    tag = f"batch=b{batch_id:08d}"
+    batch_dir = os.path.join(out_dir, "chunks", tag)
+    chunk_df.write.mode("overwrite").partitionBy("source").parquet(batch_dir)
+    written = spark.read.parquet(batch_dir)
+    # every chunk-table write path asserts the no-split contract; the b{id}
+    # prefix + per-batch overwrite extend uniqueness across batches/replays
+    assert_unique_chunk_ids(written)
+    part_dir = os.path.join(out_dir, "manifest_parts", tag)
+    build_manifest(written).write.mode("overwrite").parquet(part_dir)
+    parts = spark.read.parquet(os.path.join(out_dir, "manifest_parts"))
+    merge_manifest_parts(parts).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "manifest")
+    )
 
 
 def incremental_encode(
@@ -43,8 +79,6 @@ def incremental_encode(
     """
     cfg = cfg or EncodeConfig()
     salts = salts or {}
-    chunks_path = os.path.join(out_dir, "chunks")
-    manifest_path = os.path.join(out_dir, "manifest")
     checkpoint = os.path.join(out_dir, "_checkpoint")
 
     stream = (
@@ -60,10 +94,7 @@ def incremental_encode(
             "chunk_id",
             F.concat(F.lit(f"b{batch_id:08d}/"), F.col("chunk_id")),
         )
-        chunk_df.write.mode("append").partitionBy("source").parquet(chunks_path)
-        build_manifest(
-            batch_df.sparkSession.read.parquet(chunks_path)
-        ).write.mode("overwrite").parquet(manifest_path)
+        commit_batch(chunk_df, out_dir, batch_id)
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint

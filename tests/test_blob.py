@@ -92,6 +92,31 @@ def test_blob_header_count_tamper_detected():
         blob.decode_chunk(bytes(raw))
 
 
+def test_blob_negative_lengths_detected():
+    # Adversarial: a CRC-valid blob whose lengths payload decodes to
+    # negatives that still sum to n_values must raise, never return
+    # garbage rows (invariant 3).
+    db = b"aaabbbccc"
+    dl = np.array([3, 3, 3], dtype=np.int64)
+    lengths = np.array([-2, 4, 1], dtype=np.int64)
+    values = np.arange(3, dtype=np.int64)
+    b, _ = blob.encode_chunk(db, dl, lengths, values)
+    with pytest.raises(EngineError, match="negative token count"):
+        blob.decode_chunk(b)
+
+
+def test_blob_negative_doc_lens_detected():
+    # Negative doc_lens previously aborted the worker inside
+    # pa.StringArray.from_buffers; must be a typed error instead.
+    db = b"aaabbbccc"
+    dl = np.array([-1, 4, 6], dtype=np.int64)
+    lengths = np.array([1, 1, 1], dtype=np.int64)
+    values = np.arange(3, dtype=np.int64)
+    b, _ = blob.encode_chunk(db, dl, lengths, values)
+    with pytest.raises(EngineError, match="negative doc_id length"):
+        blob.decode_chunk(b)
+
+
 def test_error_codes_stable():
     # Every framing error carries a stable CBSP code (ERROR_CODES.md analogue)
     try:

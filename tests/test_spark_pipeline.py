@@ -80,6 +80,26 @@ def test_chunking_deterministic_across_partitioning(spark, tok_df):
     assert h_a == h_b
 
 
+def test_duplicate_doc_ids_deterministic(spark):
+    # the schema allows duplicate doc_ids; the content tiebreaker
+    # (xxhash64(tokens)) must keep chunk bytes shuffle-order-independent
+    rows = []
+    for i in range(300):
+        rows.append((f"dup_{i % 7}", list(range(i % 50 + 1)), i % 50 + 1, "web"))
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    cfg_a = EncodeConfig(chunk_values=512, target_values_per_part=2048, shuffle_partitions=2)
+    cfg_b = EncodeConfig(chunk_values=512, target_values_per_part=2048, shuffle_partitions=13)
+    assert _chunk_content_hash(encode_tokens(df, cfg_a)) == _chunk_content_hash(
+        encode_tokens(df, cfg_b)
+    )
+    # duplicate ids break the row-level join check by construction; the
+    # multiset digest-sum verification is the duplicate-safe path
+    from copybook_rs_spark.operators.verify import hash_mismatched_sources
+
+    decoded = decode_tokens(encode_tokens(df, cfg_a))
+    assert hash_mismatched_sources(df, decoded).count() == 0
+
+
 def test_encode_repeat_identical(spark, tok_df):
     h1 = _chunk_content_hash(encode_tokens(tok_df, CFG))
     h2 = _chunk_content_hash(encode_tokens(tok_df, CFG))

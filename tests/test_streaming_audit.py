@@ -49,6 +49,37 @@ def test_incremental_encode_stream(spark, tmp_path):
     m = mani.read_manifest(spark, out_dir)
     assert m.agg(F.sum("n_docs")).collect()[0][0] == df.count()
 
+    # the incrementally-merged manifest must equal a full rebuild from the
+    # chunk table (the sink itself never rescans the table: it re-aggregates
+    # one small row per (batch, group) from manifest_parts)
+    full = mani.build_manifest(chunks)
+    merged = m.select(*full.columns)
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+
+def test_streaming_replay_idempotent(spark, tmp_path):
+    # a foreachBatch retry re-runs the same batch_id: the per-batch overwrite
+    # commit must leave chunks and manifest unchanged (no duplicates)
+    from copybook_rs_spark.streaming.incremental import commit_batch
+
+    out_dir = str(tmp_path / "enc")
+    df = synthetic_tokens(spark, "mixed", 300)
+    chunk_df = encode_tokens(df, CFG).withColumn(
+        "chunk_id", F.concat(F.lit("b00000000/"), F.col("chunk_id"))
+    )
+    commit_batch(chunk_df, out_dir, 0)
+    before = sorted(
+        r["chunk_id"] for r in mani.read_chunks(spark, out_dir).select("chunk_id").collect()
+    )
+    commit_batch(chunk_df, out_dir, 0)  # replay
+    after = sorted(
+        r["chunk_id"] for r in mani.read_chunks(spark, out_dir).select("chunk_id").collect()
+    )
+    assert before == after
+    m = mani.read_manifest(spark, out_dir)
+    assert m.agg(F.sum("n_docs")).collect()[0][0] == df.count()
+
 
 def test_audit_all_ok(spark):
     df = synthetic_tokens(spark, "runs", 300)
