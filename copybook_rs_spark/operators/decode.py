@@ -21,8 +21,32 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from dataclasses import dataclass
+
 from copybook_rs_spark import blob
-from copybook_rs_spark.errors import ValueOverflowError
+from copybook_rs_spark.errors import (
+    EngineError,
+    ErrorBudgetExceededError,
+    ValueOverflowError,
+)
+
+
+@dataclass(frozen=True)
+class DecodeOptions:
+    """Error policy for decode jobs — the engine face of the reference's
+    DecodeOptions strict/lenient + max_errors + fail_fast knobs
+    (crates/copybook-options/src/lib.rs:48-83).
+
+    policy: "strict" (default — first corrupt chunk fails the job) or
+    "lenient" (corrupt chunks are skipped and counted).
+    max_errors: lenient error budget; run_decode fails typed
+    (CBSP205) once the total corrupt-chunk count exceeds it.
+    fail_fast: lenient, but abort on the first error after counting it
+    (report-then-stop, vs strict's raw raise)."""
+
+    policy: str = "strict"
+    max_errors: int = 0
+    fail_fast: bool = False
 
 TOKEN_SPARK_SCHEMA = StructType(
     [
@@ -69,16 +93,20 @@ def _decode_one(
                 )
             )
         elif col == "tokens":
-            if len(values) and (
-                values.min() < -(2**31) or values.max() >= 2**31
-            ):
-                raise ValueOverflowError("decoded token outside int32 range")
+            if values.dtype == np.int32:
+                vals32 = values  # int32-native decode lane: no copy, no scan
+            else:
+                if len(values) and (
+                    values.min() < -(2**31) or values.max() >= 2**31
+                ):
+                    raise ValueOverflowError("decoded token outside int32 range")
+                vals32 = values.astype(np.int32)
             tok_offsets = np.zeros(n + 1, dtype=np.int32)
             np.cumsum(lengths, out=tok_offsets[1:])
             arrays.append(
                 pa.ListArray.from_arrays(
                     pa.array(tok_offsets),
-                    pa.array(values.astype(np.int32), type=pa.int32()),
+                    pa.array(vals32, type=pa.int32()),
                 )
             )
         elif col == "n_tok":
@@ -90,13 +118,46 @@ def _decode_one(
     return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
 
-def make_decode_kernel(columns: tuple[str, ...], out_schema: pa.Schema):
+def make_decode_kernel(
+    columns: tuple[str, ...],
+    out_schema: pa.Schema,
+    options: "DecodeOptions | None" = None,
+    err_acc=None,
+    sample_acc=None,
+):
+    """Strict by default: the first corrupt chunk fails the task (and job).
+    With options.policy == "lenient", corrupt chunks are skipped and counted
+    into err_acc; each task additionally self-aborts once ITS error count
+    alone exceeds max_errors (task-local count lower-bounds the global one,
+    so a massively-corrupt table fails mid-flight instead of scanning to the
+    end), and fail_fast aborts on the first error after counting it."""
+    opts = options or DecodeOptions()
+
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        task_errors = 0
         for batch in batches:
             blobs = batch.column("blob")
             sources = batch.column("source").to_pylist()
             for i in range(batch.num_rows):  # per-chunk loop (chunks are large)
-                yield _decode_one(blobs[i].as_py(), sources[i], columns, out_schema)
+                try:
+                    yield _decode_one(blobs[i].as_py(), sources[i], columns, out_schema)
+                except EngineError as e:
+                    if opts.policy != "lenient":
+                        raise
+                    task_errors += 1
+                    if err_acc is not None:
+                        err_acc.add(1)
+                    if sample_acc is not None and task_errors <= 5:
+                        sample_acc.add([f"{sources[i]}: {e}"])
+                    if opts.fail_fast:
+                        raise ErrorBudgetExceededError(
+                            f"fail_fast: first corrupt chunk aborts ({e})"
+                        ) from e
+                    if task_errors > opts.max_errors:
+                        raise ErrorBudgetExceededError(
+                            f"task exceeded max_errors={opts.max_errors} "
+                            f"corrupt chunks (last: {e})"
+                        ) from e
 
     return kernel
 
@@ -105,12 +166,24 @@ def decode_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]
     yield from make_decode_kernel(_ALL_COLUMNS, _TOKEN_PA_SCHEMA)(batches)
 
 
-def decode_tokens(chunk_df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def decode_tokens(
+    chunk_df: DataFrame,
+    columns: list[str] | None = None,
+    min_parallelism: int | None = None,
+) -> DataFrame:
     """Chunk table -> token table. Only blob+source are read from parquet
     (Catalyst prunes the scan), and `columns` pushes projection INTO the
     blob: sections decode independently, so e.g. columns=["doc_id","n_tok"]
     never decompresses token values (the storage-level --select closure,
-    reference crates/copybook-core/src/projection.rs:48)."""
+    reference crates/copybook-core/src/projection.rs:48).
+
+    Parallelism: blobs compress ~1000:1, so byte-based file-split planning
+    (spark.sql.files.maxPartitionBytes) under-parallelizes decode by the
+    same factor — a 128 MB split is ~500M tokens of work. When the scan
+    yields fewer partitions than the cluster has cores, redistribute the
+    chunks first: the shuffle moves COMPRESSED bytes (~0.26 B/token), ~100x
+    cheaper than the decode it unblocks. Large chunk tables (>= cores
+    partitions, the 100 TB case) are left untouched — no shuffle."""
     if columns is None:
         cols = _ALL_COLUMNS
     else:
@@ -122,6 +195,78 @@ def decode_tokens(chunk_df: DataFrame, columns: list[str] | None = None) -> Data
         cols = tuple(c for c in _ALL_COLUMNS if c in set(columns))
     out_pa = pa.schema([f for f in _TOKEN_PA_SCHEMA if f.name in cols])
     out_spark = StructType([f for f in TOKEN_SPARK_SCHEMA.fields if f.name in cols])
-    return chunk_df.select("blob", "source").mapInArrow(
-        make_decode_kernel(cols, out_pa), out_spark
+    src = chunk_df.select("blob", "source")
+    want = min_parallelism or chunk_df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < want:
+        src = src.repartition(want)
+    return src.mapInArrow(make_decode_kernel(cols, out_pa), out_spark)
+
+
+class _SampleParam:
+    """AccumulatorParam for a bounded list of error samples."""
+
+    _CAP = 20
+
+    def zero(self, value):
+        return []
+
+    def addInPlace(self, a, b):
+        a.extend(b[: self._CAP - len(a)])
+        return a
+
+
+def run_decode(
+    chunk_df: DataFrame,
+    out_dir: str,
+    options: DecodeOptions | None = None,
+    columns: list[str] | None = None,
+) -> dict:
+    """Materialize a decode under an error policy ("continue until
+    max_errors corrupt chunks, then fail" — the production lenient mode of
+    the reference's DecodeOptions). Writes the token table to out_dir and
+    returns a run summary {n_errors, error_samples}; raises
+    ErrorBudgetExceededError (CBSP205) once the total corrupt-chunk count
+    exceeds options.max_errors. Error counts flow through Spark
+    accumulators — no second audit pass over the data."""
+    opts = options or DecodeOptions()
+    spark = chunk_df.sparkSession
+    sc = spark.sparkContext
+    err_acc = sc.accumulator(0)
+    sample_acc = sc.accumulator([], _SampleParam())
+    if columns is None:
+        cols = _ALL_COLUMNS
+    else:
+        cols = tuple(c for c in _ALL_COLUMNS if c in set(columns))
+    out_pa = pa.schema([f for f in _TOKEN_PA_SCHEMA if f.name in cols])
+    out_spark = StructType([f for f in TOKEN_SPARK_SCHEMA.fields if f.name in cols])
+    src = chunk_df.select("blob", "source")
+    want = sc.defaultParallelism
+    if src.rdd.getNumPartitions() < want:
+        src = src.repartition(want)
+    decoded = src.mapInArrow(
+        make_decode_kernel(cols, out_pa, opts, err_acc, sample_acc), out_spark
     )
+    try:
+        decoded.write.mode("overwrite").parquet(out_dir)
+    except Exception as e:
+        # a task-side budget abort (or fail_fast) arrives wrapped by Py4J;
+        # surface it as the typed driver-side error
+        if "CBSP205" in str(e):
+            raise ErrorBudgetExceededError(
+                f"decode aborted mid-flight: error budget exceeded "
+                f"(max_errors={opts.max_errors})"
+            ) from e
+        raise
+    n_errors = int(err_acc.value)
+    summary = {
+        "n_errors": n_errors,
+        "error_samples": list(sample_acc.value),
+        "out_dir": out_dir,
+    }
+    if opts.policy == "lenient" and n_errors > opts.max_errors:
+        raise ErrorBudgetExceededError(
+            f"decode finished with {n_errors} corrupt chunks "
+            f"> max_errors={opts.max_errors}; samples: "
+            f"{summary['error_samples'][:3]}"
+        )
+    return summary

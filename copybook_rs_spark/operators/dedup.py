@@ -21,11 +21,16 @@ from pyspark.sql import DataFrame, functions as F
 
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Keep one row per distinct content digest (deterministic winner:
-    min doc_id per digest) — hash-groupBy, one shuffle."""
+    min doc_id per digest) — ONE hash shuffle: min_by carries the whole
+    winning row through the aggregation, so no groupBy + self-join."""
     digest = F.md5(F.col(text_col))
     w = df.withColumn("_digest", digest)
-    winners = w.groupBy("_digest").agg(F.min("doc_id").alias("doc_id"))
-    return w.join(winners, ["_digest", "doc_id"], "inner").drop("_digest")
+    row = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        w.groupBy("_digest")
+        .agg(F.min_by(row, F.col("doc_id")).alias("_row"))
+        .select("_row.*")
+    )
 
 
 def minhash_buckets(
@@ -62,11 +67,42 @@ def minhash_buckets(
     return bands
 
 
-def near_dup_candidates(df: DataFrame, **kw) -> DataFrame:
-    """Candidate pairs (id_a < id_b) sharing any LSH bucket."""
+def bucket_sizes(df: DataFrame, **kw) -> DataFrame:
+    """(band_idx, bucket, n_docs) — observability face of the LSH index;
+    feed `.filter(n_docs > cap)` to audit what near_dup_candidates drops."""
+    return (
+        minhash_buckets(df, **kw)
+        .groupBy("band_idx", "bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def near_dup_candidates(
+    df: DataFrame, max_bucket_size: int = 1024, **kw
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing any LSH bucket.
+
+    Scale safety: buckets larger than max_bucket_size are dropped from the
+    pair join (standard LSH practice — a degenerate bucket of B docs emits
+    B^2/2 pairs, so one boilerplate cluster would otherwise turn the
+    equi-join quadratic). Oversized buckets are near-always exact/near-exact
+    boilerplate, which exact_dedup handles in O(n); audit what was dropped
+    via bucket_sizes(df).filter(n_docs > cap).
+
+    Recall: defaults (n_seeds=16, band_size=2 -> 8 bands of 2) give
+    P[candidate] = 1 - (1 - s^2)^8 ~ 0.9997 at shingle-Jaccard s = 0.8
+    (vs 0.66 for the old 2x4 default); tested against exact Jaccard in
+    tests/test_pipeline_ops.py::test_lsh_recall_vs_exact_jaccard."""
+    kw.setdefault("n_seeds", 16)
+    kw.setdefault("band_size", 2)
     b = minhash_buckets(df, **kw)
-    a = b.alias("a")
-    c = b.alias("b")
+    sizes = b.groupBy("band_idx", "bucket").agg(F.count("*").alias("_bsz"))
+    keep = b.join(
+        sizes.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz"),
+        ["band_idx", "bucket"],
+    )
+    a = keep.alias("a")
+    c = keep.alias("b")
     return (
         a.join(
             c,
@@ -83,37 +119,91 @@ _SIMHASH_SCHEMA = "doc_id long, simhash long"
 _SIMHASH_PA = pa.schema([("doc_id", pa.int64()), ("simhash", pa.int64())])
 
 
+_FNV_OFF = np.uint64(0xCBF29CE484222325)
+_FNV_PRM = np.uint64(0x100000001B3)
+
+
+def simhash_batch(doc_offsets: np.ndarray, data: np.ndarray) -> np.ndarray:
+    """64-bit SimHash of every document in one flat UTF-8 byte stream —
+    zero per-document Python (the column-at-a-time stance of the
+    reference, crates/copybook-arrow/src/decode_direct.rs:22).
+
+    Semantics match str.split(" "): every 0x20 byte terminates a word
+    (0x20 never occurs inside a multi-byte UTF-8 sequence, so byte-level
+    splitting is exact for any text), empty words hash to the FNV offset
+    basis. Per word an FNV-1a 64 hash over its UTF-8 bytes; fingerprint
+    bit b is the strict-majority vote of word-hash bits.
+
+    doc_offsets: int64 (n_docs+1,) byte offsets into data.
+    Returns uint64 (n_docs,) fingerprints.
+    """
+    n_docs = len(doc_offsets) - 1
+    if n_docs == 0:
+        return np.zeros(0, dtype=np.uint64)
+    space_pos = np.flatnonzero(data[doc_offsets[0] : doc_offsets[-1]] == 32)
+    space_pos += doc_offsets[0]
+    # word boundaries: doc starts + byte-after-space, paired with spaces +
+    # doc ends. Both sides sorted; intervals are non-overlapping and
+    # ordered, so index-wise pairing is exact (balanced-cuts argument).
+    starts = np.sort(np.concatenate([doc_offsets[:-1], space_pos + 1]))
+    ends = np.sort(np.concatenate([space_pos, doc_offsets[1:]]))
+    lens = ends - starts
+    n_words = (
+        np.bincount(
+            np.searchsorted(doc_offsets, space_pos, side="right") - 1,
+            minlength=n_docs,
+        )
+        + 1
+    )
+    word_offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(n_words, out=word_offs[1:])
+    # FNV-1a column-at-a-time over words sorted longest-first, so the live
+    # set is always a prefix slice; total work = O(total bytes)
+    order = np.argsort(-lens, kind="stable")
+    s_sorted = starts[order]
+    l_sorted = lens[order]
+    w = len(starts)
+    h = np.full(w, _FNV_OFF, dtype=np.uint64)
+    maxlen = int(l_sorted[0]) if w else 0
+    # live-count per column via the descending length array
+    for c in range(maxlen):
+        live = int(np.searchsorted(-l_sorted, -(c + 1), side="right"))
+        idx = s_sorted[:live] + c
+        h[:live] = (h[:live] ^ data[idx].astype(np.uint64)) * _FNV_PRM
+    h_doc_order = np.empty_like(h)
+    h_doc_order[order] = h
+    # majority vote per bit (every doc has >= 1 word, so reduceat offsets
+    # are strictly increasing). Fast path: 4 vote counters packed into the
+    # 16-bit lanes of one uint64 -> 16 segment-sum passes instead of 64;
+    # exact while every doc has < 2**16 words (lane sums cannot carry).
+    fp = np.zeros(n_docs, dtype=np.uint64)
+    offs = word_offs[:-1]
+    if int(n_words.max()) < (1 << 16):
+        lane_mask = np.uint64(0x0001000100010001)
+        for b in range(16):
+            lanes = np.add.reduceat((h_doc_order >> np.uint64(b)) & lane_mask, offs)
+            for j in range(4):
+                votes = ((lanes >> np.uint64(16 * j)) & np.uint64(0xFFFF)).astype(
+                    np.int64
+                )
+                fp |= (votes * 2 > n_words).astype(np.uint64) << np.uint64(b + 16 * j)
+    else:
+        for b in range(64):
+            bit = (h_doc_order >> np.uint64(b)) & np.uint64(1)
+            votes = np.add.reduceat(bit.astype(np.int64), offs)
+            fp |= (votes * 2 > n_words).astype(np.uint64) << np.uint64(b)
+    return fp
+
+
 def _simhash_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    # 64-bit SimHash over word unigrams: per word an FNV-1a 64 hash; the
-    # fingerprint bit b is the majority vote of word-hash bits, vectorized.
-    FNV_OFF = np.uint64(0xCBF29CE484222325)
-    FNV_PRM = np.uint64(0x100000001B3)
+    from copybook_rs_spark.operators.encode import _string_parts
+
     for batch in batches:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        texts = batch.column("text").to_pylist()
-        out = np.zeros(len(texts), dtype=np.uint64)
-        for r, t in enumerate(texts):  # per-doc loop; inner ops vectorized
-            words = t.split(" ")
-            if not words:
-                continue
-            # vectorized FNV-1a over the padded byte matrix
-            maxlen = max(len(w) for w in words)
-            mat = np.zeros((len(words), maxlen), dtype=np.uint64)
-            lens = np.empty(len(words), dtype=np.int64)
-            for i, w in enumerate(words):
-                bw = w.encode()
-                lens[i] = len(bw)
-                if bw:
-                    mat[i, : len(bw)] = np.frombuffer(bw, np.uint8)
-            h = np.full(len(words), FNV_OFF, dtype=np.uint64)
-            for c in range(maxlen):
-                live = lens > c
-                h[live] = (h[live] ^ mat[live, c]) * FNV_PRM
-            bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            votes = bits.sum(axis=0)
-            fp = ((votes * 2 > len(words)).astype(np.uint64)
-                  << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
-            out[r] = fp
+        tlens, tdata = _string_parts(batch.column("text"))
+        doc_offsets = np.zeros(len(tlens) + 1, dtype=np.int64)
+        np.cumsum(tlens, out=doc_offsets[1:])
+        out = simhash_batch(doc_offsets, tdata)
         yield pa.RecordBatch.from_arrays(
             [pa.array(ids, pa.int64()), pa.array(out.view(np.int64), pa.int64())],
             schema=_SIMHASH_PA,

@@ -81,25 +81,165 @@ def lsh_signatures(
     )
 
 
+def build_ann_index(
+    df: DataFrame, dim: int, out_dir: str, n_planes: int = 8, seed: int = 42
+) -> None:
+    """Persist the LSH signature table partitioned by bucket, so a probe
+    reads ONLY its bucket directories (partition pruning — the Iceberg
+    hidden-partitioning shape). The index is a pure function of
+    (data, n_planes, seed): rebuildable on any cluster size, and usable by
+    every later query without recomputing signatures over the corpus."""
+    sigs = lsh_signatures(df, dim, n_planes, seed)
+    sigs.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(out_dir)
+
+
+def read_ann_index(spark, out_dir: str) -> DataFrame:
+    return spark.read.parquet(out_dir)
+
+
+def probe_buckets(
+    query: list[float], n_planes: int = 8, seed: int = 42, n_probes: int = 1
+) -> list[int]:
+    """Multi-probe sequence: the query's own bucket, then buckets reached by
+    flipping the LEAST-confident hyperplane bits first (smallest |proj| —
+    standard multi-probe LSH), deterministic for a given query."""
+    import itertools
+
+    planes = _hyperplanes(len(query), n_planes, seed)
+    proj = np.asarray(query, dtype=np.float32) @ planes.T
+    qsig = int(
+        ((proj > 0).astype(np.int32) * (1 << np.arange(n_planes))).sum()
+    )
+    order = np.argsort(np.abs(proj), kind="stable").tolist()
+    probes = [qsig]
+    for r in range(1, n_planes + 1):
+        for comb in itertools.combinations(order, r):
+            if len(probes) >= n_probes:
+                return probes
+            mask = 0
+            for b in comb:
+                mask |= 1 << b
+            probes.append(qsig ^ mask)
+    return probes[:n_probes]
+
+
+_IVF_SCHEMA = "vec_id long, list_id int"
+_IVF_PA = pa.schema([("vec_id", pa.int64()), ("list_id", pa.int32())])
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    dim: int,
+    n_lists: int = 64,
+    sample_cap: int = 65536,
+    iters: int = 10,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer (IVF), trained driver-side on a
+    deterministic sample (first sample_cap vectors by vec_id — a TakeOrdered,
+    cheap at any scale). Deterministic init (first n_lists sample rows) +
+    fixed Lloyd iterations -> the same centroids on any cluster size.
+    Returns (n_lists, dim) float32, unit-normalized."""
+    rows = (
+        df.select("vec_id", "embedding").orderBy("vec_id").limit(sample_cap).collect()
+    )
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float32)
+    unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    cents = unit[: min(n_lists, len(unit))].copy()
+    if len(cents) < n_lists:
+        n_lists = len(cents)
+    for _ in range(iters):
+        assign = np.argmax(unit @ cents.T, axis=1)
+        for c in range(n_lists):
+            members = unit[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-30)
+    return cents
+
+
+def _ivf_kernel(cents: np.ndarray):
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        dim = cents.shape[1]
+        for batch in batches:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            emb = batch.column("embedding")
+            offs = np.frombuffer(emb.buffers()[1], dtype=np.int32)[
+                emb.offset : emb.offset + len(emb) + 1
+            ]
+            flat = emb.values.to_numpy(zero_copy_only=False)
+            mat = flat[offs[0] : offs[-1]].reshape(len(ids), dim)
+            unit = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-30
+            )
+            lists = np.argmax(unit @ cents.T, axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(lists, pa.int32())],
+                schema=_IVF_PA,
+            )
+
+    return kernel
+
+
+def ivf_assignments(df: DataFrame, cents: np.ndarray) -> DataFrame:
+    """(vec_id, list_id): nearest-centroid assignment, one BLAS call per
+    Arrow batch (centroids ship in the task closure — n_lists x dim floats)."""
+    return df.select("vec_id", "embedding").mapInArrow(
+        _ivf_kernel(cents), _IVF_SCHEMA
+    )
+
+
+def build_ivf_index(df: DataFrame, cents: np.ndarray, out_dir: str) -> None:
+    """Persist IVF assignments partitioned by list_id: a query reads only
+    its probed inverted lists (partition pruning), the 100 TB ANN shape.
+    Measured on the embeddings fixture: recall@10 = 0.67 scanning 3% of the
+    corpus at n_probe=1 (n_lists=32) vs 0.11 for single-table hyperplane
+    LSH at the same scan budget — see BENCH/BASELINE.md."""
+    ivf_assignments(df, cents).repartition("list_id").write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(out_dir)
+
+
+def ivf_topk(
+    df: DataFrame,
+    cents: np.ndarray,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """ANN top-k via IVF: exact cosine re-rank inside the n_probe nearest
+    inverted lists. Pass `index` (build_ivf_index output) to skip the
+    assignment pass."""
+    q = np.asarray(query, dtype=np.float32)
+    qu = q / max(np.linalg.norm(q), 1e-30)
+    probes = [int(x) for x in np.argsort(-(cents @ qu), kind="stable")[:n_probe]]
+    sigs = index if index is not None else ivf_assignments(df, cents)
+    cand = sigs.filter(F.col("list_id").isin(probes)).select("vec_id")
+    return cosine_topk(df.join(cand, "vec_id", "inner"), query, k)
+
+
 def lsh_topk(
     df: DataFrame,
     query: list[float],
     k: int = 10,
     n_planes: int = 8,
     seed: int = 42,
+    n_probes: int = 1,
+    index: DataFrame | None = None,
 ) -> DataFrame:
-    """ANN top-k: exact cosine re-rank restricted to the query's LSH bucket.
-    At scale the signature table is precomputed/bucketed; here it is derived
-    inline. Falls back to fewer than k rows if the bucket is small (standard
-    LSH behavior; multi-probe is the recall knob)."""
-    dim = len(query)
-    planes = _hyperplanes(dim, n_planes, seed)
-    qsig = int(
-        (((np.asarray(query, dtype=np.float32) @ planes.T) > 0).astype(np.int32)
-         * (1 << np.arange(n_planes))).sum()
+    """ANN top-k: exact cosine re-rank restricted to the query's probed LSH
+    buckets. Pass `index` (from build_ann_index/read_ann_index) to skip the
+    corpus-wide signature pass — the probe then costs one partition-pruned
+    index read + a semi-join on vec_id. n_probes is the recall knob
+    (recall@10 vs brute force on the embeddings fixture is receipted in
+    BENCH/BASELINE.md)."""
+    probes = probe_buckets(query, n_planes, seed, n_probes)
+    sigs = (
+        index
+        if index is not None
+        else lsh_signatures(df, len(query), n_planes, seed)
     )
-    sigs = lsh_signatures(df, dim, n_planes, seed)
-    candidates = df.join(
-        sigs.filter(F.col("bucket") == qsig), "vec_id", "inner"
-    )
-    return cosine_topk(candidates, query, k)
+    cand = sigs.filter(F.col("bucket").isin(probes)).select("vec_id")
+    return cosine_topk(df.join(cand, "vec_id", "inner"), query, k)

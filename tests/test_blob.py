@@ -92,6 +92,34 @@ def test_blob_header_count_tamper_detected():
         blob.decode_chunk(bytes(raw))
 
 
+def test_blob_header_minmax_tamper_detected():
+    # vmin/vmax live in the header (outside the body crc); tampering them
+    # must be caught by the decoded-min/max cross-check
+    raw = bytearray(_mk_chunk()[4])
+    raw[36] ^= 0x01  # inside the vmin field (header offsets 34..41)
+    with pytest.raises(EngineError, match="min/max disagree"):
+        blob.decode_chunk(bytes(raw))
+
+
+def test_blob_int32_lane_matches_int64_semantics():
+    # extreme int32 values and int64 values (32-bit lane ineligible) must
+    # both round-trip bit-identically through the same entry point
+    rng = np.random.default_rng(3)
+    ids = sorted(f"z{i:05d}" for i in range(120))
+    db = "".join(ids).encode()
+    dl = np.array([len(s) for s in ids], dtype=np.int64)
+    tl = rng.integers(0, 40, 120).astype(np.int64)
+    nv = int(tl.sum())
+    for tv in (
+        rng.choice([-(2**31), 2**31 - 1, 0, 1, -1], nv).astype(np.int64),
+        rng.integers(-(2**62), 2**62, nv).astype(np.int64),
+        rng.integers(0, 50257, nv).astype(np.int64),
+    ):
+        b, _ = blob.encode_chunk(db, dl, tl, tv)
+        _, _, _, otv = blob.decode_chunk(b)
+        np.testing.assert_array_equal(otv.astype(np.int64), tv)
+
+
 def test_blob_negative_lengths_detected():
     # Adversarial: a CRC-valid blob whose lengths payload decodes to
     # negatives that still sum to n_values must raise, never return

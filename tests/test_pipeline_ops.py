@@ -63,6 +63,67 @@ def test_minhash_buckets_shape(spark, docs):
     assert b.select("band_idx").distinct().count() == 2
 
 
+def _shingles(text):
+    w = text.split(" ")
+    n = max(len(w) - 2, 1)
+    return {
+        "_".join(
+            (w[i], w[min(i + 1, len(w) - 1)], w[min(i + 2, len(w) - 1)])
+        )
+        for i in range(n)
+    }
+
+
+def test_lsh_recall_vs_exact_jaccard(spark):
+    # seeded corpus with planted near-dup pairs around Jaccard ~0.8-0.95;
+    # default bands (8 x 2) must recover >= 90% of exact-Jaccard >= 0.8 pairs
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    for i in range(40):
+        base = [vocab[j] for j in rng.integers(0, 500, 100)]
+        rows.append((2 * i, " ".join(base)))
+        mut = list(base)
+        for p in rng.integers(0, 100, int(rng.integers(1, 4))):
+            mut[p] = vocab[int(rng.integers(0, 500))]
+        rows.append((2 * i + 1, " ".join(mut)))
+    truth = set()
+    for ia, ta in rows:
+        sa = _shingles(ta)
+        for ib, tb in rows:
+            if ia < ib:
+                sb = _shingles(tb)
+                j = len(sa & sb) / len(sa | sb)
+                if j >= 0.8:
+                    truth.add((ia, ib))
+    assert len(truth) >= 20  # the fixture actually plants high-J pairs
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_candidates(df).collect()
+    }
+    recall = len(truth & cands) / len(truth)
+    assert recall >= 0.9, f"LSH recall {recall} over {len(truth)} true pairs"
+
+
+def test_lsh_mega_bucket_capped(spark):
+    # one degenerate bucket (boilerplate doc repeated 600x) must be dropped
+    # from the pair join instead of emitting ~180k quadratic pairs
+    from copybook_rs_spark.operators.dedup import bucket_sizes
+
+    boiler = "lorem ipsum dolor sit amet " * 10
+    rows = [(i, boiler) for i in range(600)]
+    rows += [(1000, "a unique document about spark encoders and codecs")]
+    rows += [(1001, "a unique document about spark encoders and parquet")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = near_dup_candidates(df, max_bucket_size=100).collect()
+    pair_set = {(r["id_a"], r["id_b"]) for r in cands}
+    assert (1000, 1001) in pair_set  # real near-dups survive
+    assert all(a >= 1000 for a, _ in pair_set)  # boilerplate bucket dropped
+    dropped = bucket_sizes(df, n_seeds=16, band_size=2).filter("n_docs > 100")
+    assert dropped.count() == 8  # the boilerplate cluster, once per band
+
+
 def test_simhash_dedup(spark, docs):
     fp = simhash(docs)
     rows = fp.collect()
@@ -74,6 +135,58 @@ def test_simhash_dedup(spark, docs):
         .agg(F.countDistinct("simhash").alias("d"))
     )
     assert joined.agg(F.max("d")).collect()[0][0] == 1
+
+
+def _simhash_reference(text: str) -> int:
+    # straight per-doc transcription of the SimHash definition (and of the
+    # round-1 kernel): FNV-1a 64 per word over str.split(" "), strict
+    # majority vote per bit
+    words = text.split(" ")
+    hs = []
+    for w in words:
+        h = 0xCBF29CE484222325
+        for byte in w.encode():
+            h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        hs.append(h)
+    fp = 0
+    for b in range(64):
+        votes = sum((h >> b) & 1 for h in hs)
+        if votes * 2 > len(words):
+            fp |= 1 << b
+    return fp
+
+
+def test_simhash_batch_matches_reference():
+    from copybook_rs_spark.operators.dedup import simhash_batch
+
+    texts = [
+        "the quick brown fox",
+        "",
+        " ",
+        "  double  spaces  ",
+        "héllo wörld",  # non-ASCII (crashed the round-1 kernel)
+        "документ про животных и ещё про птиц",
+        "single",
+        "a " * 200 + "tail",
+        "x" * 300,  # one long word
+    ]
+    data = np.frombuffer("".join(texts).encode(), dtype=np.uint8)
+    lens = np.array([len(t.encode()) for t in texts], dtype=np.int64)
+    offs = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    got = simhash_batch(offs, data)
+    expected = np.array([_simhash_reference(t) for t in texts], dtype=np.uint64)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_simhash_fixture_matches_reference(spark, docs):
+    # byte-identity with the round-1 per-doc kernel on the real fixture
+    sample = docs.orderBy("doc_id").limit(50).select("doc_id", "text").collect()
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    for r in sample:
+        assert fp[r["doc_id"]] == np.int64(
+            np.uint64(_simhash_reference(r["text"]))
+        ), r["doc_id"]
 
 
 def test_cosine_topk_self_first(spark, emb):
@@ -93,6 +206,91 @@ def test_lsh_topk_contains_self_and_subset_of_bucket(spark, emb):
     # ANN results are a subset of the exact brute-force ranking's universe
     exact = {r["vec_id"] for r in cosine_topk(emb, list(q["embedding"]), k=500).collect()}
     assert all(r["vec_id"] in exact for r in top)
+
+
+def test_ann_index_persisted_matches_inline(spark, emb, tmp_path):
+    from copybook_rs_spark.operators.similarity import (
+        build_ann_index,
+        lsh_topk,
+        probe_buckets,
+        read_ann_index,
+    )
+
+    q = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    dim = len(q)
+    out = str(tmp_path / "annidx")
+    build_ann_index(emb, dim, out)
+    idx = read_ann_index(spark, out)
+    inline = lsh_topk(emb, q, n_probes=3).collect()
+    indexed = lsh_topk(emb, q, n_probes=3, index=idx).collect()
+    assert inline == indexed
+    # a probe reads only its bucket partitions (partition pruning)
+    probes = probe_buckets(q, n_probes=3)
+    plan = (
+        idx.filter(F.col("bucket").isin(probes))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_ann_multiprobe_recall_monotone(spark, emb):
+    # the fixture embeddings are near-uniform, so single-table hyperplane
+    # LSH recall tracks the scanned fraction (measured curve in
+    # BENCH/BASELINE.md); the assertion checks the multi-probe mechanism,
+    # recall quality is the IVF path's job (next test)
+    from copybook_rs_spark.operators.similarity import cosine_topk, lsh_topk
+
+    queries = [r["embedding"] for r in emb.orderBy("vec_id").limit(5).collect()]
+    recalls = {}
+    for n_probes in (1, 8):
+        hits = tot = 0
+        for q in queries:
+            exact = {r["vec_id"] for r in cosine_topk(emb, q, 10).collect()}
+            got = {
+                r["vec_id"] for r in lsh_topk(emb, q, 10, n_probes=n_probes).collect()
+            }
+            hits += len(exact & got)
+            tot += len(exact)
+        recalls[n_probes] = hits / tot
+    assert recalls[8] >= recalls[1]
+    assert recalls[8] > 0, recalls
+
+
+def test_ivf_recall_beats_scan_budget(spark, emb, tmp_path):
+    from copybook_rs_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_topk,
+        read_ann_index,
+        train_ivf_centroids,
+    )
+
+    dim = len(emb.limit(1).collect()[0]["embedding"])
+    cents = train_ivf_centroids(emb, dim, n_lists=32)
+    out = str(tmp_path / "ivfidx")
+    build_ivf_index(emb, cents, out)
+    idx = read_ann_index(spark, out)
+    # scan budget at n_probe=1 is ~1/32 of the corpus; recall must be far
+    # above that (deterministic fixture: measured 0.67)
+    queries = [r["embedding"] for r in emb.orderBy("vec_id").limit(5).collect()]
+    hits = tot = 0
+    for q in queries:
+        exact = {r["vec_id"] for r in cosine_topk(emb, q, 10).collect()}
+        got = {
+            r["vec_id"]
+            for r in ivf_topk(emb, cents, q, 10, n_probe=1, index=idx).collect()
+        }
+        hits += len(exact & got)
+        tot += len(exact)
+    assert hits / tot >= 0.5, hits / tot
+    # indexed == inline
+    q = queries[0]
+    assert (
+        ivf_topk(emb, cents, q, 10, n_probe=2, index=idx).collect()
+        == ivf_topk(emb, cents, q, 10, n_probe=2).collect()
+    )
 
 
 def test_multimodal_features_deterministic(spark, docs):

@@ -81,6 +81,60 @@ def test_streaming_replay_idempotent(spark, tmp_path):
     assert m.agg(F.sum("n_docs")).collect()[0][0] == df.count()
 
 
+def _corrupt_n(chunks, n):
+    # flip one payload byte in the first n chunks (by chunk_seq) of source 'web'
+    return chunks.withColumn(
+        "blob",
+        F.when(
+            F.col("chunk_seq") < n,
+            F.expr(
+                "concat(substring(blob, 1, 60), X'5A', substring(blob, 62, length(blob)))"
+            ),
+        ).otherwise(F.col("blob")),
+    )
+
+
+def test_bounded_error_decode_policy(spark, tmp_path):
+    # the reference's DecodeOptions lenient mode: continue until max_errors
+    # corrupt chunks, then fail typed (CBSP205)
+    from copybook_rs_spark.errors import ErrorBudgetExceededError
+    from copybook_rs_spark.operators.decode import DecodeOptions, run_decode
+
+    df = synthetic_tokens(spark, "mixed", 600)
+    cfg = EncodeConfig(chunk_values=1024, target_values_per_part=4096, shuffle_partitions=8)
+    chunks = encode_tokens(df, cfg).cache()
+    n_bad = _corrupt_n(chunks, 3).filter("chunk_seq < 3").count()
+    assert n_bad >= 3
+    corrupted = _corrupt_n(chunks, 3)
+
+    # budget >= actual errors: succeeds, reports exact counts + samples
+    ok = run_decode(
+        corrupted,
+        str(tmp_path / "ok"),
+        DecodeOptions(policy="lenient", max_errors=n_bad),
+    )
+    assert ok["n_errors"] == n_bad
+    assert any("CBSP" in s for s in ok["error_samples"])
+    # skipped chunks are absent, everything else decodes
+    got = spark.read.parquet(str(tmp_path / "ok"))
+    lost_docs = corrupted.filter("chunk_seq < 3").agg(F.sum("n_rows")).collect()[0][0]
+    assert got.count() == df.count() - lost_docs
+
+    # budget < actual errors: typed failure after counting
+    with pytest.raises(ErrorBudgetExceededError, match="CBSP205"):
+        run_decode(
+            corrupted,
+            str(tmp_path / "fail"),
+            DecodeOptions(policy="lenient", max_errors=n_bad - 1),
+        )
+
+    # clean table under the same policy: zero errors
+    clean = run_decode(
+        chunks, str(tmp_path / "clean"), DecodeOptions(policy="lenient", max_errors=0)
+    )
+    assert clean["n_errors"] == 0
+
+
 def test_audit_all_ok(spark):
     df = synthetic_tokens(spark, "runs", 300)
     chunks = encode_tokens(df, CFG)
