@@ -27,7 +27,11 @@ from copybook_rs_spark.operators.multimodal import extract_features
 from copybook_rs_spark.operators.similarity import lsh_topk
 from copybook_rs_spark.operators.verify import verified_counts
 from copybook_rs_spark.sources.manifest import build_manifest
-from copybook_rs_spark.sources.tokens import TOKEN_TABLE_DUCKDB_SQL, token_table
+from copybook_rs_spark.sources.tokens import (
+    TOKEN_TABLE_DUCKDB_SQL,
+    TOKENS_DUCKDB_EXPR,
+    token_table,
+)
 
 # sf0.01-sized config: small chunk budget so the table splits into many
 # chunks and codec selection is exercised per chunk.
@@ -258,9 +262,90 @@ def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # P4 lenient policy: per-source chunk audit (rows-only; engine-internal)
+    # P4 lenient policy: per-source audit of the encoded table. Clean input
+    # => every count is derivable from the input itself, so this HAS a
+    # DuckDB oracle: audited docs/values == plain counts, zero errors.
+    from copybook_rs_spark.operators.audit import audit_chunks
+
     tok = token_table(spark, sf_dir)
-    return audit_summary(encode_tokens(tok, _CFG)).drop("sample_error_codes")
+    aud = audit_chunks(encode_tokens(tok, _CFG))
+    return aud.groupBy("source").agg(
+        F.sum("n_rows").cast("long").alias("n_docs_audited"),
+        F.sum("n_values").alias("n_values_audited"),
+        F.sum((F.col("status") == "error").cast("long")).alias("n_error"),
+    )
+
+
+_TOK64_SPARK = (
+    "transform(sequence(1, 1 + pmod(l_partkey, 8)), "
+    "i -> cast(l_suppkey as bigint) * 3000000000 + i)"
+)
+_TOK64_DUCK = (
+    "list_transform(range(1, 2 + l_partkey % 8), "
+    "i -> CAST(l_suppkey AS BIGINT) * 3000000000 + CAST(i AS BIGINT))"
+)
+
+
+def _int64_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from copybook_rs_spark.sources.tokens import DOC_ID_EXPR
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.selectExpr(
+        f"{DOC_ID_EXPR} as doc_id",
+        f"{_TOK64_SPARK} as tokens",
+        "cast(1 + pmod(l_partkey, 8) as int) as n_tok",
+        "l_returnflag as source",
+    )
+
+
+def _q_int64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # generalized encode surface: int64 token arrays (values ~3e11, far past
+    # int32) through the SAME chunk pipeline; oracle aggregates the formula
+    # directly, so any bit lost in encode->decode breaks the hash
+    from copybook_rs_spark.operators import decode_tokens
+
+    cfg = EncodeConfig(
+        token_dtype="int64", chunk_values=16384, target_values_per_part=131_072
+    )
+    dec = decode_tokens(encode_tokens(_int64_table(spark, sf_dir), cfg), cfg=cfg)
+    ex = dec.select("source", F.explode("tokens").alias("t"))
+    return ex.groupBy("source").agg(
+        F.count("*").alias("n_values"),
+        F.sum("t").alias("token_sum"),
+        F.min("t").alias("token_min"),
+        F.max("t").alias("token_max"),
+    )
+
+
+def _q_extras_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two-array-column chunks: tokens + an extra int64 column with its own
+    # per-doc lengths; decode both and aggregate — oracled per column
+    from copybook_rs_spark.operators import decode_tokens
+    from copybook_rs_spark.sources.tokens import TOKENS_SPARK_EXPR
+
+    cfg = EncodeConfig(
+        extra_columns=("aux",), chunk_values=16384, target_values_per_part=131_072
+    )
+    from copybook_rs_spark.sources.tokens import DOC_ID_EXPR
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.selectExpr(
+        f"{DOC_ID_EXPR} as doc_id",
+        f"{TOKENS_SPARK_EXPR} as tokens",
+        "cast(1 + pmod(l_partkey, 64) as int) as n_tok",
+        "l_returnflag as source",
+        f"{_TOK64_SPARK} as aux",
+    )
+    dec = decode_tokens(encode_tokens(df, cfg), cfg=cfg)
+    return dec.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.expr("aggregate(tokens, cast(0 as bigint), (a, x) -> a + x)")).alias(
+            "tok_sum"
+        ),
+        F.sum(F.expr("aggregate(aux, cast(0 as bigint), (a, x) -> a + x)")).alias(
+            "aux_sum"
+        ),
+    )
 
 
 def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,6 +404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "multimodal_features": _q_multimodal_features,
         "audit_report": _q_audit_report,
+        "int64_roundtrip": _q_int64_roundtrip,
+        "extras_roundtrip": _q_extras_roundtrip,
         "stats_minmax": _q_stats_minmax,
         "stats_cardinality": _q_stats_cardinality,
         "run_count": _q_run_count,
@@ -384,8 +471,36 @@ def oracle_sql() -> dict[str, str]:
             FROM {_TOK}
             GROUP BY source
         """,
-        # simhash_dedup / ann_lsh_topk / multimodal_features / audit_report:
+        # simhash_dedup / ann_lsh_topk / multimodal_features:
         # engine-internal kernels -> rows-only checks
+        "audit_report": f"""
+            SELECT source,
+                   count(*) AS n_docs_audited,
+                   CAST(sum(n_tok) AS BIGINT) AS n_values_audited,
+                   CAST(0 AS BIGINT) AS n_error
+            FROM {_TOK}
+            GROUP BY source
+        """,
+        "int64_roundtrip": f"""
+            SELECT source,
+                   count(*) AS n_values,
+                   CAST(sum(t) AS BIGINT) AS token_sum,
+                   min(t) AS token_min,
+                   max(t) AS token_max
+            FROM (
+              SELECT l_returnflag AS source, unnest({_TOK64_DUCK}) AS t
+              FROM lineitem
+            )
+            GROUP BY source
+        """,
+        "extras_roundtrip": f"""
+            SELECT l_returnflag AS source,
+                   count(*) AS n_docs,
+                   CAST(sum(list_sum({TOKENS_DUCKDB_EXPR})) AS BIGINT) AS tok_sum,
+                   CAST(sum(list_sum({_TOK64_DUCK})) AS BIGINT) AS aux_sum
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
         "stats_minmax": f"""
             SELECT source,
                    min(token) AS min_token,

@@ -597,6 +597,87 @@ def _decode_values(
     return out.view(np.int64)
 
 
+def _encode_extras(extras: list[tuple[str, np.ndarray, np.ndarray]]) -> bytes:
+    """Optional trailing section for additional integer array columns
+    (schema-driven, config.EncodeConfig.extra_columns). Self-delimiting and
+    crc-guarded independently (the main header/crc stay byte-identical, so
+    single-column blobs are unchanged):
+
+      extra := crc32:u32 n_extra:u8 then per column:
+               name_len:u8 name lens_len:u32 lens-payload
+               vals_len:u32 values-payload
+    Each column has its OWN per-document lengths (columns need not align),
+    validated against n_rows at decode."""
+    parts = [bytes([len(extras)])]
+    for name, lens, vals in extras:
+        nb = name.encode()
+        if len(nb) > 255:
+            raise HeaderInvalidError(f"extra column name too long: {name!r}")
+        pl, _ = core.encode_array(lens, codec="auto", depth=1)
+        pv, _ = core.encode_array(vals, codec="auto")
+        parts.extend(
+            (bytes([len(nb)]), nb, _U32.pack(len(pl)), pl, _U32.pack(len(pv)), pv)
+        )
+    body = b"".join(parts)
+    return _U32.pack(zlib.crc32(body) & 0xFFFFFFFF) + body
+
+
+def decode_extras(
+    blob_bytes: bytes | memoryview, n_rows: int
+) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    """Decode the trailing extras section -> {name: (lengths, values)}.
+    Empty dict when the blob has no extras. Raises typed CBSP* errors on
+    any corruption (own crc32 + per-column count checks)."""
+    buf = memoryview(blob_bytes)
+    if len(buf) < HEADER_LEN:
+        raise TruncatedBlobError("blob shorter than header")
+    _, _, _, hdr_rows, _, _, sd, sl, sv, _, _ = _HEADER.unpack_from(buf)
+    end = HEADER_LEN + sd + sl + sv
+    if len(buf) < end:
+        raise TruncatedBlobError("blob truncated before extras")
+    tail = buf[end:]
+    if len(tail) == 0:
+        return {}
+    if len(tail) < 5:
+        raise TruncatedBlobError("extras section truncated")
+    (crc,) = _U32.unpack_from(tail)
+    body = tail[4:]
+    if (zlib.crc32(body) & 0xFFFFFFFF) != crc:
+        raise CrcMismatchError("extras section crc32 mismatch")
+    n_extra = body[0]
+    off = 1
+    out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for _ in range(n_extra):
+        if len(body) < off + 1:
+            raise TruncatedBlobError("extras name length truncated")
+        nl = body[off]
+        off += 1
+        if len(body) < off + nl + 4:
+            raise TruncatedBlobError("extras name truncated")
+        name = bytes(body[off : off + nl]).decode("utf-8")
+        off += nl
+        (pl_len,) = _U32.unpack_from(body, off)
+        off += 4
+        if len(body) < off + pl_len + 4:
+            raise TruncatedBlobError("extras lengths truncated")
+        lens = core.decode_array(body[off : off + pl_len])
+        off += pl_len
+        (pv_len,) = _U32.unpack_from(body, off)
+        off += 4
+        if len(body) < off + pv_len:
+            raise TruncatedBlobError("extras values truncated")
+        vals = core.decode_array(body[off : off + pv_len])
+        off += pv_len
+        if len(lens) != n_rows:
+            raise CountMismatchError(f"extras[{name}]: lengths count != n_rows")
+        if n_rows and (lens < 0).any():
+            raise PayloadCorruptError(f"extras[{name}]: negative length")
+        if int(lens.sum() if n_rows else 0) != len(vals):
+            raise CountMismatchError(f"extras[{name}]: values count mismatch")
+        out[name] = (lens, vals)
+    return out
+
+
 def encode_chunk(
     doc_bytes: bytes,
     doc_lens: np.ndarray,
@@ -604,6 +685,7 @@ def encode_chunk(
     values: np.ndarray,
     codec: str = "auto",
     doc_fsst_cache: list | None = None,
+    extras: list[tuple[str, np.ndarray, np.ndarray]] | None = None,
 ) -> tuple[bytes, dict]:
     """Build a chunk blob. Returns (blob, info) where info carries the chosen
     values-codec name, the chunk statistics used for selection, and
@@ -645,6 +727,11 @@ def encode_chunk(
         "crc32": crc,
         "doc_fsst_tables": doc_tables,
     }
+    if extras:
+        for name, el, ev in extras:
+            if len(el) != n_rows:
+                raise CountMismatchError(f"extras[{name}]: lengths != n_rows")
+        return header + body + _encode_extras(extras), info
     return header + body, info
 
 

@@ -48,4 +48,29 @@ class EncodeConfig:
     target_values_per_part: int = 2_097_152
     max_salt: int = 1 << 21
     shuffle_partitions: int | None = None
-    fingerprint: str = field(default_factory=schema_fingerprint)
+    # schema knobs (the reference's type-authority analogue,
+    # crates/copybook-arrow/src/schema_convert.rs:87-147): tokens may be
+    # int32 (default) or int64, and additional integer array columns ride
+    # along in the same chunk (each with its own per-doc lengths). The
+    # fingerprint covers the EFFECTIVE schema, so chunk tables written
+    # under different schemas can never be silently mixed.
+    token_dtype: str = "int32"
+    extra_columns: tuple[str, ...] = ()
+    fingerprint: str = ""
+
+    def __post_init__(self):
+        if self.token_dtype not in ("int32", "int64"):
+            raise ValueError(f"token_dtype {self.token_dtype!r}")
+        if not self.fingerprint:
+            object.__setattr__(self, "fingerprint", schema_fingerprint(self.fields()))
+
+    def fields(self) -> tuple[tuple[str, str], ...]:
+        elem = "int" if self.token_dtype == "int32" else "bigint"
+        out = [
+            ("doc_id", "string"),
+            ("tokens", f"array<{elem}>"),
+            ("n_tok", "int"),
+            ("source", "string"),
+        ]
+        out.extend((c, "array<bigint>") for c in self.extra_columns)
+        return tuple(out)

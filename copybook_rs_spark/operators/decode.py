@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -70,18 +71,66 @@ _TOKEN_PA_SCHEMA = pa.schema(
 _ALL_COLUMNS = ("doc_id", "tokens", "n_tok", "source")
 
 
+def _build_schemas(cfg, cols: tuple[str, ...]):
+    """(arrow schema, spark schema) for the requested columns under the
+    config's token dtype + extra columns (extras decode as array<bigint>)."""
+    tok64 = cfg is not None and cfg.token_dtype == "int64"
+    pa_fields, sp_fields = [], []
+    for c in cols:
+        if c == "doc_id" or c == "source":
+            pa_fields.append((c, pa.string()))
+            sp_fields.append(StructField(c, StringType(), False))
+        elif c == "tokens":
+            t = pa.int64() if tok64 else pa.int32()
+            pa_fields.append((c, pa.list_(t)))
+            sp_fields.append(
+                StructField(
+                    c,
+                    ArrayType(LongType() if tok64 else IntegerType(), False),
+                    False,
+                )
+            )
+        elif c == "n_tok":
+            pa_fields.append((c, pa.int32()))
+            sp_fields.append(StructField(c, IntegerType(), False))
+        else:  # extra integer array column
+            pa_fields.append((c, pa.list_(pa.int64())))
+            sp_fields.append(StructField(c, ArrayType(LongType(), False), False))
+    return pa.schema(pa_fields), StructType(sp_fields)
+
+
 def _decode_one(
-    blob_bytes: bytes, source: str, columns: tuple[str, ...], out_schema: pa.Schema
+    blob_bytes: bytes,
+    source: str,
+    columns: tuple[str, ...],
+    out_schema: pa.Schema,
+    tok64: bool = False,
 ) -> pa.RecordBatch:
     need_docs = "doc_id" in columns
     need_values = "tokens" in columns
+    extra_cols = [c for c in columns if c not in _ALL_COLUMNS]
     doc_bytes, doc_lens, lengths, values = blob.decode_chunk(
         blob_bytes, need_docs=need_docs, need_values=need_values
     )
     n = len(lengths)
+    extras = blob.decode_extras(blob_bytes, n) if extra_cols else {}
     arrays = []
     for col in columns:
-        if col == "doc_id":
+        if col in extra_cols:
+            if col not in extras:
+                raise EngineError(
+                    f"blob carries no extra column {col!r}", code="CBSP203"
+                )
+            el, ev = extras[col]
+            ex_off = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(el, out=ex_off[1:])
+            arrays.append(
+                pa.ListArray.from_arrays(
+                    pa.array(ex_off),
+                    pa.array(np.ascontiguousarray(ev, dtype=np.int64), type=pa.int64()),
+                )
+            )
+        elif col == "doc_id":
             # StringArray straight from (offsets, bytes) — no per-row Python
             doc_offsets = np.zeros(n + 1, dtype=np.int32)
             np.cumsum(doc_lens, out=doc_offsets[1:])
@@ -93,20 +142,25 @@ def _decode_one(
                 )
             )
         elif col == "tokens":
-            if values.dtype == np.int32:
-                vals32 = values  # int32-native decode lane: no copy, no scan
+            if tok64:
+                vals_out = values if values.dtype == np.int64 else values.astype(np.int64)
+                out_t = pa.int64()
+            elif values.dtype == np.int32:
+                vals_out = values  # int32-native decode lane: no copy, no scan
+                out_t = pa.int32()
             else:
                 if len(values) and (
                     values.min() < -(2**31) or values.max() >= 2**31
                 ):
                     raise ValueOverflowError("decoded token outside int32 range")
-                vals32 = values.astype(np.int32)
+                vals_out = values.astype(np.int32)
+                out_t = pa.int32()
             tok_offsets = np.zeros(n + 1, dtype=np.int32)
             np.cumsum(lengths, out=tok_offsets[1:])
             arrays.append(
                 pa.ListArray.from_arrays(
                     pa.array(tok_offsets),
-                    pa.array(vals32, type=pa.int32()),
+                    pa.array(vals_out, type=out_t),
                 )
             )
         elif col == "n_tok":
@@ -124,6 +178,7 @@ def make_decode_kernel(
     options: "DecodeOptions | None" = None,
     err_acc=None,
     sample_acc=None,
+    tok64: bool = False,
 ):
     """Strict by default: the first corrupt chunk fails the task (and job).
     With options.policy == "lenient", corrupt chunks are skipped and counted
@@ -140,7 +195,9 @@ def make_decode_kernel(
             sources = batch.column("source").to_pylist()
             for i in range(batch.num_rows):  # per-chunk loop (chunks are large)
                 try:
-                    yield _decode_one(blobs[i].as_py(), sources[i], columns, out_schema)
+                    yield _decode_one(
+                        blobs[i].as_py(), sources[i], columns, out_schema, tok64
+                    )
                 except EngineError as e:
                     if opts.policy != "lenient":
                         raise
@@ -170,6 +227,7 @@ def decode_tokens(
     chunk_df: DataFrame,
     columns: list[str] | None = None,
     min_parallelism: int | None = None,
+    cfg=None,
 ) -> DataFrame:
     """Chunk table -> token table. Only blob+source are read from parquet
     (Catalyst prunes the scan), and `columns` pushes projection INTO the
@@ -184,22 +242,25 @@ def decode_tokens(
     chunks first: the shuffle moves COMPRESSED bytes (~0.26 B/token), ~100x
     cheaper than the decode it unblocks. Large chunk tables (>= cores
     partitions, the 100 TB case) are left untouched — no shuffle."""
+    all_cols = _ALL_COLUMNS + (tuple(cfg.extra_columns) if cfg is not None else ())
     if columns is None:
-        cols = _ALL_COLUMNS
+        cols = all_cols
     else:
-        unknown = set(columns) - set(_ALL_COLUMNS)
+        unknown = set(columns) - set(all_cols)
         if unknown:
             from copybook_rs_spark.functions.projection import UnknownColumnError
 
             raise UnknownColumnError(f"unknown decode columns {sorted(unknown)}")
-        cols = tuple(c for c in _ALL_COLUMNS if c in set(columns))
-    out_pa = pa.schema([f for f in _TOKEN_PA_SCHEMA if f.name in cols])
-    out_spark = StructType([f for f in TOKEN_SPARK_SCHEMA.fields if f.name in cols])
+        cols = tuple(c for c in all_cols if c in set(columns))
+    out_pa, out_spark = _build_schemas(cfg, cols)
+    tok64 = cfg is not None and cfg.token_dtype == "int64"
     src = chunk_df.select("blob", "source")
-    want = min_parallelism or chunk_df.sparkSession.sparkContext.defaultParallelism
+    want = min_parallelism or (
+        2 * chunk_df.sparkSession.sparkContext.defaultParallelism
+    )
     if src.rdd.getNumPartitions() < want:
         src = src.repartition(want)
-    return src.mapInArrow(make_decode_kernel(cols, out_pa), out_spark)
+    return src.mapInArrow(make_decode_kernel(cols, out_pa, tok64=tok64), out_spark)
 
 
 class _SampleParam:
@@ -220,6 +281,7 @@ def run_decode(
     out_dir: str,
     options: DecodeOptions | None = None,
     columns: list[str] | None = None,
+    cfg=None,
 ) -> dict:
     """Materialize a decode under an error policy ("continue until
     max_errors corrupt chunks, then fail" — the production lenient mode of
@@ -233,18 +295,19 @@ def run_decode(
     sc = spark.sparkContext
     err_acc = sc.accumulator(0)
     sample_acc = sc.accumulator([], _SampleParam())
+    all_cols = _ALL_COLUMNS + (tuple(cfg.extra_columns) if cfg is not None else ())
     if columns is None:
-        cols = _ALL_COLUMNS
+        cols = all_cols
     else:
-        cols = tuple(c for c in _ALL_COLUMNS if c in set(columns))
-    out_pa = pa.schema([f for f in _TOKEN_PA_SCHEMA if f.name in cols])
-    out_spark = StructType([f for f in TOKEN_SPARK_SCHEMA.fields if f.name in cols])
+        cols = tuple(c for c in all_cols if c in set(columns))
+    out_pa, out_spark = _build_schemas(cfg, cols)
+    tok64 = cfg is not None and cfg.token_dtype == "int64"
     src = chunk_df.select("blob", "source")
-    want = sc.defaultParallelism
+    want = 2 * sc.defaultParallelism
     if src.rdd.getNumPartitions() < want:
         src = src.repartition(want)
     decoded = src.mapInArrow(
-        make_decode_kernel(cols, out_pa, opts, err_acc, sample_acc), out_spark
+        make_decode_kernel(cols, out_pa, opts, err_acc, sample_acc, tok64), out_spark
     )
     try:
         decoded.write.mode("overwrite").parquet(out_dir)

@@ -127,11 +127,12 @@ class _GroupBuffer:
     crates/copybook-codec-memory/src/streaming.rs:103)."""
 
     __slots__ = (
-        "source", "part_id", "seq", "doc_fsst",
+        "source", "part_id", "seq", "doc_fsst", "extra_names",
         "doc_bytes", "doc_lens", "tok_lens", "tok_vals", "pending_values",
+        "ex_lens", "ex_vals",
     )
 
-    def __init__(self, source: str, part_id: int):
+    def __init__(self, source: str, part_id: int, extra_names: tuple[str, ...] = ()):
         self.source = source
         self.part_id = part_id
         self.seq = 0
@@ -139,36 +140,58 @@ class _GroupBuffer:
         # rest of the group (a pure function of group content — the group
         # is processed by exactly one task in deterministic doc_id order)
         self.doc_fsst: list | None = None
+        self.extra_names = extra_names
         self.doc_bytes: list[np.ndarray] = []
         self.doc_lens: list[np.ndarray] = []
         self.tok_lens: list[np.ndarray] = []
         self.tok_vals: list[np.ndarray] = []
+        self.ex_lens: dict[str, list] = {c: [] for c in extra_names}
+        self.ex_vals: dict[str, list] = {c: [] for c in extra_names}
         self.pending_values = 0
 
-    def add(self, db: np.ndarray, dl: np.ndarray, tl: np.ndarray, tv: np.ndarray):
+    def add(
+        self,
+        db: np.ndarray,
+        dl: np.ndarray,
+        tl: np.ndarray,
+        tv: np.ndarray,
+        extras: list[tuple[np.ndarray, np.ndarray]] = (),
+    ):
         self.doc_bytes.append(db)
         self.doc_lens.append(dl)
         self.tok_lens.append(tl)
         self.tok_vals.append(tv)
+        for c, (el, ev) in zip(self.extra_names, extras):
+            self.ex_lens[c].append(el)
+            self.ex_vals[c].append(ev)
         self.pending_values += len(tv)
 
-    def _consolidate(self):
-        db = np.concatenate(self.doc_bytes) if self.doc_bytes else np.empty(0, np.uint8)
-        dl = np.concatenate(self.doc_lens) if self.doc_lens else np.empty(0, np.int64)
-        tl = np.concatenate(self.tok_lens) if self.tok_lens else np.empty(0, np.int64)
-        tv = np.concatenate(self.tok_vals) if self.tok_vals else np.empty(0, np.int64)
-        return db, dl, tl, tv
+    @staticmethod
+    def _cat(parts, dtype=np.int64):
+        return np.concatenate(parts) if parts else np.empty(0, dtype)
 
     def flush(self, cfg: EncodeConfig, force: bool) -> list[dict]:
         """Emit all complete chunks (and, if force, the final partial one)."""
         if not force and self.pending_values < cfg.chunk_values:
             return []
-        db, dl, tl, tv = self._consolidate()
+        db = self._cat(self.doc_bytes, np.uint8)
+        dl = self._cat(self.doc_lens)
+        tl = self._cat(self.tok_lens)
+        tv = self._cat(self.tok_vals)
+        ex = {
+            c: (self._cat(self.ex_lens[c]), self._cat(self.ex_vals[c]))
+            for c in self.extra_names
+        }
         n_docs = len(dl)
         cum_vals = np.zeros(n_docs + 1, dtype=np.int64)
         np.cumsum(tl, out=cum_vals[1:])
         cum_docb = np.zeros(n_docs + 1, dtype=np.int64)
         np.cumsum(dl, out=cum_docb[1:])
+        cum_ex = {}
+        for c, (el, _) in ex.items():
+            ce = np.zeros(n_docs + 1, dtype=np.int64)
+            np.cumsum(el, out=ce[1:])
+            cum_ex[c] = ce
         rows: list[dict] = []
         start = 0
         while start < n_docs:
@@ -178,28 +201,40 @@ class _GroupBuffer:
             end = min(max(end, start + 1), n_docs)
             if cum_vals[end] - cum_vals[start] < cfg.chunk_values and not force:
                 break  # tail stays pending
-            rows.append(self._emit(cfg, db, dl, tl, tv, cum_vals, cum_docb, start, end))
+            rows.append(
+                self._emit(cfg, db, dl, tl, tv, ex, cum_ex, cum_vals, cum_docb, start, end)
+            )
             start = end
         # retain tail
         self.doc_bytes = [db[cum_docb[start] :]]
         self.doc_lens = [dl[start:]]
         self.tok_lens = [tl[start:]]
         self.tok_vals = [tv[cum_vals[start] :]]
+        for c in self.extra_names:
+            self.ex_lens[c] = [ex[c][0][start:]]
+            self.ex_vals[c] = [ex[c][1][cum_ex[c][start] :]]
         self.pending_values = int(cum_vals[-1] - cum_vals[start])
         if force and start >= n_docs:
             self.doc_bytes, self.doc_lens = [], []
             self.tok_lens, self.tok_vals = [], []
+            self.ex_lens = {c: [] for c in self.extra_names}
+            self.ex_vals = {c: [] for c in self.extra_names}
             self.pending_values = 0
         return rows
 
-    def _emit(self, cfg, db, dl, tl, tv, cum_vals, cum_docb, start, end) -> dict:
+    def _emit(self, cfg, db, dl, tl, tv, ex, cum_ex, cum_vals, cum_docb, start, end) -> dict:
         doc_b = db[cum_docb[start] : cum_docb[end]].tobytes()
         doc_l = dl[start:end]
         lens = tl[start:end]
         vals = tv[cum_vals[start] : cum_vals[end]]
+        extras = [
+            (c, ex[c][0][start:end], ex[c][1][cum_ex[c][start] : cum_ex[c][end]])
+            for c in self.extra_names
+        ]
         b, info = blob.encode_chunk(
             doc_b, doc_l, lens, vals, codec=cfg.codec,
             doc_fsst_cache=self.doc_fsst,
+            extras=extras or None,
         )
         if self.doc_fsst is None and info["doc_fsst_tables"] is not None:
             # a table stack to reuse, or [] = fsst lost on this group's
@@ -260,10 +295,18 @@ def make_encode_kernel(cfg: EncodeConfig, verify_grouping: bool = False):
             pid = batch.column("part_id").to_numpy(zero_copy_only=False).astype(np.int64)
             dl_all, db_all = _string_parts(batch.column("doc_id"))
             tl_all, tv_all = _list_parts(batch.column("tokens"))
+            ex_all = [
+                _list_parts(batch.column(c)) for c in cfg.extra_columns
+            ]
             cum_v = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(tl_all, out=cum_v[1:])
             cum_d = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(dl_all, out=cum_d[1:])
+            cum_e = []
+            for el, _ in ex_all:
+                ce = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(el, out=ce[1:])
+                cum_e.append(ce)
             # group boundaries within the (sorted) batch — Arrow-side slice
             # compare, no per-row Python string materialization
             if n > 1:
@@ -300,7 +343,7 @@ def make_encode_kernel(cfg: EncodeConfig, verify_grouping: bool = False):
                                 "after closing (input not grouped)"
                             )
                         last_doc = None
-                    current = _GroupBuffer(*key)
+                    current = _GroupBuffer(*key, extra_names=cfg.extra_columns)
                 elif verify_grouping and last_doc is not None:
                     first = batch.column("doc_id")[int(i0)].as_py()
                     if first < last_doc:
@@ -315,6 +358,10 @@ def make_encode_kernel(cfg: EncodeConfig, verify_grouping: bool = False):
                     dl_all[i0:i1],
                     tl_all[i0:i1],
                     tv_all[cum_v[i0] : cum_v[i1]],
+                    [
+                        (el[i0:i1], ev[cum_e[j][i0] : cum_e[j][i1]])
+                        for j, (el, ev) in enumerate(ex_all)
+                    ],
                 )
                 out_rows.extend(current.flush(cfg, force=False))
             yield from drain()

@@ -25,7 +25,7 @@ def roundtrip_mismatches(df: DataFrame, cfg: EncodeConfig | None = None) -> Data
     dup); for inputs with duplicate ids use hash_mismatched_sources, whose
     commutative digest sums verify the multiset exactly.
     """
-    decoded = decode_tokens(encode_tokens(df, cfg))
+    decoded = decode_tokens(encode_tokens(df, cfg), cfg=cfg)
     a = df.select(
         F.col("doc_id"),
         F.col("tokens").alias("tokens_a"),
@@ -93,7 +93,7 @@ def verified_counts(df: DataFrame, cfg: EncodeConfig | None = None) -> DataFrame
     """Per-source count of docs/tokens that survive the round-trip exactly —
     the SQL-checkable face of verification (oracle: plain counts over the
     input, since the invariant is 100% survival)."""
-    decoded = decode_tokens(encode_tokens(df, cfg))
+    decoded = decode_tokens(encode_tokens(df, cfg), cfg=cfg)
     a = df.select("doc_id", "tokens", "n_tok", "source")
     b = decoded.select(
         F.col("doc_id"),

@@ -145,6 +145,35 @@ def test_blob_negative_doc_lens_detected():
         blob.decode_chunk(b)
 
 
+def test_blob_extras_roundtrip_and_corruption():
+    # trailing extras section: own lengths per column, own crc, and the
+    # main sections stay byte-identical to a no-extras encode
+    rng = np.random.default_rng(21)
+    db = b"aaabbbccc"
+    dl = np.array([3, 3, 3], dtype=np.int64)
+    tl = np.array([4, 0, 2], dtype=np.int64)
+    tv = rng.integers(0, 1000, 6).astype(np.int64)
+    el = np.array([0, 5, 2], dtype=np.int64)
+    ev = rng.integers(-(2**40), 2**40, 7).astype(np.int64)
+    plain, _ = blob.encode_chunk(db, dl, tl, tv)
+    b, _ = blob.encode_chunk(db, dl, tl, tv, extras=[("aux", el, ev)])
+    assert b[: len(plain)] == plain  # prefix-compatible
+    odb, odl, otl, otv = blob.decode_chunk(b)  # main decode ignores extras
+    assert odb == db
+    ex = blob.decode_extras(b, 3)
+    np.testing.assert_array_equal(ex["aux"][0], el)
+    np.testing.assert_array_equal(ex["aux"][1], ev)
+    assert blob.decode_extras(plain, 3) == {}
+    # bit-flip inside the extras section must raise (own crc)
+    bad = bytearray(b)
+    bad[len(plain) + 10] ^= 0x20
+    with pytest.raises(EngineError):
+        blob.decode_extras(bytes(bad), 3)
+    # wrong n_rows -> typed count error
+    with pytest.raises(EngineError):
+        blob.decode_extras(b, 4)
+
+
 def test_error_codes_stable():
     # Every framing error carries a stable CBSP code (ERROR_CODES.md analogue)
     try:

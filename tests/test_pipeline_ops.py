@@ -314,6 +314,51 @@ def test_multimodal_features_deterministic(spark, docs):
         assert lens[r["doc_id"]] == r["n"]
 
 
-def test_decode_media_stub_raises():
+def test_decode_media_unsupported():
+    with pytest.raises(ValueError):
+        decode_media(b"\x89PNG...", "image")  # PNG container unsupported
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG...", "image")
+        decode_media(b"anything", "video")
+
+
+def test_bmp_wav_decode_roundtrip():
+    from copybook_rs_spark.operators.multimodal import make_bmp, make_wav
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)  # odd width: padding
+    np.testing.assert_array_equal(decode_media(make_bmp(img), "image"), img)
+    wave = rng.integers(-(2**15), 2**15, (480, 2)).astype(np.int16)
+    got, rate = decode_media(make_wav(wave, 8000), "audio")
+    np.testing.assert_array_equal(got, wave)
+    assert rate == 8000
+    with pytest.raises(ValueError):
+        decode_media(make_bmp(img)[:40], "image")  # truncated
+
+
+def test_decoded_features_end_to_end(spark):
+    from copybook_rs_spark.operators.multimodal import (
+        extract_decoded_features,
+        make_bmp,
+        make_wav,
+    )
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(20):
+        img = rng.integers(0, 256, (8 + i, 10, 3), dtype=np.uint8)
+        rows.append((i, bytearray(make_bmp(img)), "image"))
+    for i in range(20, 30):
+        wave = rng.integers(-1000, 1000, (256, 1)).astype(np.int16)
+        rows.append((i, bytearray(make_wav(wave)), "audio"))
+    df = spark.createDataFrame(rows, "media_id long, media binary, kind string")
+    feats = extract_decoded_features(df).collect()
+    assert len(feats) == 30
+    by_id = {r["media_id"]: r["features"] for r in feats}
+    # image features: dims 12/13 carry decoded height/width
+    assert by_id[0][12] == 8.0 and by_id[0][13] == 10.0
+    assert by_id[5][12] == 13.0
+    # audio features: dims 6/7/8 carry n_samples/channels/rate
+    assert by_id[25][6] == 256.0 and by_id[25][7] == 1.0 and by_id[25][8] == 16000.0
+    # deterministic across runs
+    again = {r["media_id"]: r["features"] for r in extract_decoded_features(df).collect()}
+    assert by_id == again

@@ -100,6 +100,74 @@ def test_duplicate_doc_ids_deterministic(spark):
     assert hash_mismatched_sources(df, decoded).count() == 0
 
 
+def test_int64_token_schema_roundtrip(spark):
+    # schema-driven encode surface: int64 token arrays (values past int32)
+    rows = []
+    for i in range(400):
+        base = 3_000_000_000 + i * 1_000_003
+        toks = [base + j * 7 for j in range(i % 40 + 1)]
+        rows.append((f"big_{i:06d}", toks, len(toks), "web" if i % 3 else "code"))
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<bigint>, n_tok int, source string"
+    )
+    cfg = EncodeConfig(
+        token_dtype="int64", chunk_values=1024,
+        target_values_per_part=4096, shuffle_partitions=4,
+    )
+    chunks = encode_tokens(df, cfg)
+    dec = decode_tokens(chunks, cfg=cfg)
+    assert dict(dec.dtypes)["tokens"] == "array<bigint>"
+    bad = (
+        df.select("doc_id", F.col("tokens").alias("ta"))
+        .join(dec.select("doc_id", F.col("tokens").alias("tb")), "doc_id", "full_outer")
+        .filter(F.col("ta").isNull() | F.col("tb").isNull() | (F.col("ta") != F.col("tb")))
+        .count()
+    )
+    assert bad == 0
+    # fingerprints differ: int64 chunk tables can't be mixed with int32 ones
+    assert cfg.fingerprint != EncodeConfig().fingerprint
+
+
+def test_extra_array_columns_roundtrip(spark):
+    # a second integer array column with its OWN per-doc lengths rides in
+    # the same chunk (trailing extras section) and round-trips bit-exactly
+    rows = []
+    for i in range(300):
+        toks = list(range(i % 30 + 1))
+        aux = [i * 10_000_000_000 + j for j in range((i * 7) % 13)]  # int64 range
+        rows.append((f"x_{i:06d}", toks, len(toks), "web", aux))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "aux array<bigint>",
+    )
+    cfg = EncodeConfig(
+        extra_columns=("aux",), chunk_values=512,
+        target_values_per_part=2048, shuffle_partitions=4,
+    )
+    chunks = encode_tokens(df, cfg)
+    dec = decode_tokens(chunks, cfg=cfg)
+    assert dict(dec.dtypes)["aux"] == "array<bigint>"
+    bad = (
+        df.select("doc_id", F.col("tokens").alias("ta"), F.col("aux").alias("xa"))
+        .join(
+            dec.select("doc_id", F.col("tokens").alias("tb"), F.col("aux").alias("xb")),
+            "doc_id",
+            "full_outer",
+        )
+        .filter(
+            F.col("ta").isNull() | F.col("tb").isNull()
+            | (F.col("ta") != F.col("tb")) | (F.col("xa") != F.col("xb"))
+        )
+        .count()
+    )
+    assert bad == 0
+    # projection: decoding only the extra column skips token decompression
+    aux_only = decode_tokens(chunks, columns=["doc_id", "aux"], cfg=cfg)
+    assert aux_only.columns == ["doc_id", "aux"]
+    assert aux_only.count() == 300
+
+
 def test_encode_repeat_identical(spark, tok_df):
     h1 = _chunk_content_hash(encode_tokens(tok_df, CFG))
     h2 = _chunk_content_hash(encode_tokens(tok_df, CFG))
