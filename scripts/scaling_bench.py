@@ -109,14 +109,25 @@ def child(cores: int, rep: int, runs: int, sf_dir: str, job: str = "encode") -> 
     )
 
 
-def run_child(cores: int, rep: int, runs: int, sf_dir: str, job: str) -> dict:
+def run_child(
+    cores: int, rep: int, runs: int, sf_dir: str, job: str, pin: bool = False
+) -> dict:
     env = dict(os.environ, PYTHONPATH=REPO, SPARK_DRIVER_MEM="24g")
+    cmd = [
+        sys.executable, os.path.abspath(__file__),
+        "--child", "--cores", str(cores), "--rep", str(rep),
+        "--runs", str(runs), "--sf-dir", sf_dir, "--job", job,
+    ]
+    if pin:
+        # Bind the WHOLE process tree (JVM + python workers) to exactly
+        # `cores` physical CPUs. Without this, local[N] overstates the N
+        # baseline: the python worker and the JVM are separate processes, so
+        # a "1-core" run really consumes ~2 cores of concurrent work, and a
+        # 4N run at high N oversubscribes the socket. Pinning makes each
+        # level an honest fixed-size-executor emulation.
+        cmd = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0"] + cmd
     out = subprocess.run(
-        [
-            sys.executable, os.path.abspath(__file__),
-            "--child", "--cores", str(cores), "--rep", str(rep),
-            "--runs", str(runs), "--sf-dir", sf_dir, "--job", job,
-        ],
+        cmd,
         capture_output=True, text=True, env=env, cwd=REPO, timeout=3000,
     )
     for line in out.stdout.splitlines():
@@ -134,6 +145,10 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--job", choices=["encode", "decode"], default="encode")
+    ap.add_argument(
+        "--pin", action="store_true",
+        help="taskset each level to exactly N / 4N CPUs (fixed-size-executor emulation)",
+    )
     args = ap.parse_args()
     if not args.child and args.n < 1:
         ap.error("--n must be >= 1")
@@ -143,12 +158,14 @@ def main() -> None:
         child(args.cores, args.rep, args.runs, args.sf_dir, args.job)
         return
 
-    small = run_child(args.n, args.rep, args.runs, args.sf_dir, args.job)
-    big = run_child(4 * args.n, args.rep, args.runs, args.sf_dir, args.job)
+    small = run_child(args.n, args.rep, args.runs, args.sf_dir, args.job, args.pin)
+    big = run_child(4 * args.n, args.rep, args.runs, args.sf_dir, args.job, args.pin)
     eff = (big["tokens_per_sec"] / small["tokens_per_sec"]) / 4
     det = small["content_hash"] == big["content_hash"]
     result = {
-        "metric": f"{args.job} scaling efficiency (N vs 4N cores)",
+        "metric": f"{args.job} scaling efficiency (N vs 4N cores"
+        + (", CPU-pinned)" if args.pin else ")"),
+        "pinned": args.pin,
         "N": args.n,
         "n_tokens": small["n_tokens"],
         "tokens_per_sec_N": small["tokens_per_sec"],
@@ -168,7 +185,13 @@ def main() -> None:
         f"= {small['n_docs']:,} docs / {small['n_tokens']:,} tokens (cached); "
         f"encode job (salt plan fixed, auto codec, 64Ki-value chunks); "
         f"1 warmup + {args.runs} timed runs per level, median reported "
-        f"(criterion-style, cf. reference BASELINE_METHODOLOGY.md).\n",
+        f"(criterion-style, cf. reference BASELINE_METHODOLOGY.md); "
+        + (
+            "each level CPU-pinned (taskset) to exactly its core count — "
+            "fixed-size-executor emulation.\n"
+            if args.pin
+            else "unpinned (JVM + python workers float across the socket).\n"
+        ),
         "| level | cores | samples (s) | median (s) | tokens/s |",
         "|---|---|---|---|---|",
         f"| N | {small['cores']} | {small['samples_sec']} | {small['median_sec']} | {small['tokens_per_sec']:,} |",
