@@ -41,61 +41,67 @@ _AUDIT_PA = pa.schema(
 )
 
 
-def _audit_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    for batch in batches:
-        blobs = batch.column("blob")
-        meta = {
-            c: batch.column(c).to_pylist()
-            for c in ("chunk_id", "source", "part_id")
-        }
-        rows = []
-        for i in range(batch.num_rows):
-            row = {
-                "chunk_id": meta["chunk_id"][i],
-                "source": meta["source"][i],
-                "part_id": meta["part_id"][i],
-                "status": "ok",
-                "error_code": "",
-                "error_message": "",
-                "n_rows": 0,
-                "n_values": 0,
+def make_audit_kernel(check_int32: bool = True):
+    def _audit_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            blobs = batch.column("blob")
+            meta = {
+                c: batch.column(c).to_pylist()
+                for c in ("chunk_id", "source", "part_id")
             }
-            try:
-                _, doc_lens, lengths, values = blob.decode_chunk(
-                    blobs[i].as_py()
-                )
-                row["n_rows"] = int(len(doc_lens))
-                row["n_values"] = int(len(values))
-                if len(values) and (
-                    values.min() < -(2**31) or values.max() >= 2**31
-                ):
+            rows = []
+            for i in range(batch.num_rows):
+                row = {
+                    "chunk_id": meta["chunk_id"][i],
+                    "source": meta["source"][i],
+                    "part_id": meta["part_id"][i],
+                    "status": "ok",
+                    "error_code": "",
+                    "error_message": "",
+                    "n_rows": 0,
+                    "n_values": 0,
+                }
+                try:
+                    _, doc_lens, lengths, values = blob.decode_chunk(
+                        blobs[i].as_py()
+                    )
+                    row["n_rows"] = int(len(doc_lens))
+                    row["n_values"] = int(len(values))
+                    if check_int32 and len(values) and (
+                        values.min() < -(2**31) or values.max() >= 2**31
+                    ):
+                        row.update(
+                            status="error",
+                            error_code="CBSP202",
+                            error_message="token outside int32 range",
+                        )
+                except EngineError as e:
                     row.update(
                         status="error",
-                        error_code="CBSP202",
-                        error_message="token outside int32 range",
+                        error_code=e.code,
+                        error_message=str(e),
                     )
-            except EngineError as e:
-                row.update(
-                    status="error",
-                    error_code=e.code,
-                    error_message=str(e),
-                )
-            rows.append(row)
-        if rows:
-            yield pa.RecordBatch.from_pylist(rows, schema=_AUDIT_PA)
+                rows.append(row)
+            if rows:
+                yield pa.RecordBatch.from_pylist(rows, schema=_AUDIT_PA)
+
+    return _audit_kernel
 
 
-def audit_chunks(chunk_df: DataFrame) -> DataFrame:
-    """One status row per chunk; corrupt blobs are reported, not fatal."""
+def audit_chunks(chunk_df: DataFrame, cfg=None) -> DataFrame:
+    """One status row per chunk; corrupt blobs are reported, not fatal.
+    Pass the table's EncodeConfig so the value-range check matches the
+    schema (int64 token tables are NOT flagged as out-of-int32-range)."""
+    check_int32 = cfg is None or cfg.token_dtype == "int32"
     return chunk_df.select("chunk_id", "source", "part_id", "blob").mapInArrow(
-        _audit_kernel, AUDIT_SCHEMA
+        make_audit_kernel(check_int32), AUDIT_SCHEMA
     )
 
 
-def audit_summary(chunk_df: DataFrame, sample_errors: int = 5) -> DataFrame:
+def audit_summary(chunk_df: DataFrame, sample_errors: int = 5, cfg=None) -> DataFrame:
     """Per-source corruption report: counts, error rate, first error codes
     (the --sample N analogue, crates/copybook-cli/src/main.rs:476-478)."""
-    audited = audit_chunks(chunk_df)
+    audited = audit_chunks(chunk_df, cfg=cfg)
     return audited.groupBy("source").agg(
         F.count("*").alias("n_chunks"),
         F.sum((F.col("status") == "ok").cast("long")).alias("n_ok"),

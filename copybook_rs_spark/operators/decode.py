@@ -223,6 +223,35 @@ def decode_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]
     yield from make_decode_kernel(_ALL_COLUMNS, _TOKEN_PA_SCHEMA)(batches)
 
 
+def _plan_decode(
+    chunk_df: DataFrame,
+    columns: list[str] | None,
+    cfg,
+    min_parallelism: int | None = None,
+):
+    """Shared column-resolution / schema / parallelism planning for
+    decode_tokens and run_decode (single source of truth)."""
+    all_cols = _ALL_COLUMNS + (tuple(cfg.extra_columns) if cfg is not None else ())
+    if columns is None:
+        cols = all_cols
+    else:
+        unknown = set(columns) - set(all_cols)
+        if unknown:
+            from copybook_rs_spark.functions.projection import UnknownColumnError
+
+            raise UnknownColumnError(f"unknown decode columns {sorted(unknown)}")
+        cols = tuple(c for c in all_cols if c in set(columns))
+    out_pa, out_spark = _build_schemas(cfg, cols)
+    tok64 = cfg is not None and cfg.token_dtype == "int64"
+    src = chunk_df.select("blob", "source")
+    want = min_parallelism or (
+        2 * chunk_df.sparkSession.sparkContext.defaultParallelism
+    )
+    if src.rdd.getNumPartitions() < want:
+        src = src.repartition(want)
+    return src, cols, out_pa, out_spark, tok64
+
+
 def decode_tokens(
     chunk_df: DataFrame,
     columns: list[str] | None = None,
@@ -242,24 +271,9 @@ def decode_tokens(
     chunks first: the shuffle moves COMPRESSED bytes (~0.26 B/token), ~100x
     cheaper than the decode it unblocks. Large chunk tables (>= cores
     partitions, the 100 TB case) are left untouched — no shuffle."""
-    all_cols = _ALL_COLUMNS + (tuple(cfg.extra_columns) if cfg is not None else ())
-    if columns is None:
-        cols = all_cols
-    else:
-        unknown = set(columns) - set(all_cols)
-        if unknown:
-            from copybook_rs_spark.functions.projection import UnknownColumnError
-
-            raise UnknownColumnError(f"unknown decode columns {sorted(unknown)}")
-        cols = tuple(c for c in all_cols if c in set(columns))
-    out_pa, out_spark = _build_schemas(cfg, cols)
-    tok64 = cfg is not None and cfg.token_dtype == "int64"
-    src = chunk_df.select("blob", "source")
-    want = min_parallelism or (
-        2 * chunk_df.sparkSession.sparkContext.defaultParallelism
+    src, cols, out_pa, out_spark, tok64 = _plan_decode(
+        chunk_df, columns, cfg, min_parallelism
     )
-    if src.rdd.getNumPartitions() < want:
-        src = src.repartition(want)
     return src.mapInArrow(make_decode_kernel(cols, out_pa, tok64=tok64), out_spark)
 
 
@@ -289,23 +303,17 @@ def run_decode(
     returns a run summary {n_errors, error_samples}; raises
     ErrorBudgetExceededError (CBSP205) once the total corrupt-chunk count
     exceeds options.max_errors. Error counts flow through Spark
-    accumulators — no second audit pass over the data."""
+    accumulators — no second audit pass over the data. Accumulator caveat:
+    if a SUCCEEDED task is re-executed (speculation, stage retry after
+    executor loss) its errors count again, so the budget can trip
+    pessimistically on an unlucky run; audit_chunks gives the exact count
+    for forensics. Failed-task updates are never applied."""
     opts = options or DecodeOptions()
     spark = chunk_df.sparkSession
     sc = spark.sparkContext
     err_acc = sc.accumulator(0)
     sample_acc = sc.accumulator([], _SampleParam())
-    all_cols = _ALL_COLUMNS + (tuple(cfg.extra_columns) if cfg is not None else ())
-    if columns is None:
-        cols = all_cols
-    else:
-        cols = tuple(c for c in all_cols if c in set(columns))
-    out_pa, out_spark = _build_schemas(cfg, cols)
-    tok64 = cfg is not None and cfg.token_dtype == "int64"
-    src = chunk_df.select("blob", "source")
-    want = 2 * sc.defaultParallelism
-    if src.rdd.getNumPartitions() < want:
-        src = src.repartition(want)
+    src, cols, out_pa, out_spark, tok64 = _plan_decode(chunk_df, columns, cfg)
     decoded = src.mapInArrow(
         make_decode_kernel(cols, out_pa, opts, err_acc, sample_acc, tok64), out_spark
     )

@@ -25,11 +25,16 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     winning row through the aggregation, so no groupBy + self-join."""
     digest = F.md5(F.col(text_col))
     w = df.withColumn("_digest", digest)
-    row = F.struct(*[F.col(c) for c in df.columns])
+    # doc_id leads the struct so min() picks the min-doc_id row; remaining
+    # fields break doc_id ties deterministically (the schema allows
+    # duplicate ids), unlike min_by whose tie winner is undefined
+    ordered = F.struct(
+        F.col("doc_id"), *[F.col(c) for c in df.columns if c != "doc_id"]
+    )
     return (
         w.groupBy("_digest")
-        .agg(F.min_by(row, F.col("doc_id")).alias("_row"))
-        .select("_row.*")
+        .agg(F.min(ordered).alias("_row"))
+        .select(*[F.col(f"_row.{c}").alias(c) for c in df.columns])
     )
 
 
@@ -69,7 +74,11 @@ def minhash_buckets(
 
 def bucket_sizes(df: DataFrame, **kw) -> DataFrame:
     """(band_idx, bucket, n_docs) — observability face of the LSH index;
-    feed `.filter(n_docs > cap)` to audit what near_dup_candidates drops."""
+    feed `.filter(n_docs > cap)` to audit what near_dup_candidates drops.
+    Uses the SAME band defaults as near_dup_candidates so the audit
+    inspects the same index."""
+    kw.setdefault("n_seeds", 16)
+    kw.setdefault("band_size", 2)
     return (
         minhash_buckets(df, **kw)
         .groupBy("band_idx", "bucket")

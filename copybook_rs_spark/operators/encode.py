@@ -329,6 +329,21 @@ def make_encode_kernel(cfg: EncodeConfig, verify_grouping: bool = False):
                     raise PipelineContractError(
                         "pregrouped encode: doc_id not sorted within group"
                     )
+                # duplicate doc_ids need the content tiebreaker
+                # (plans/partition.py) to stay canonical, which this path
+                # cannot verify per task — reject rather than risk
+                # non-canonical chunk bytes (invariant 2)
+                dup = np.asarray(
+                    pc.equal(doc_col.slice(0, n - 1), doc_col.slice(1))
+                ).copy()
+                dup[change] = False
+                if dup.any():
+                    raise PipelineContractError(
+                        "pregrouped encode: duplicate doc_ids within a group "
+                        "— canonical order is content-tiebroken, which the "
+                        "pregrouped contract check cannot verify; use the "
+                        "exchange path for inputs with duplicate ids"
+                    )
             for i0, i1 in zip(seg_starts, seg_ends):
                 key = (src_col[int(i0)].as_py(), int(pid[i0]))
                 if current is None or (current.source, current.part_id) != key:
@@ -350,6 +365,11 @@ def make_encode_kernel(cfg: EncodeConfig, verify_grouping: bool = False):
                         raise PipelineContractError(
                             "pregrouped encode: doc_id order broken across "
                             f"batches in group {key}"
+                        )
+                    if first == last_doc:
+                        raise PipelineContractError(
+                            "pregrouped encode: duplicate doc_ids across "
+                            f"batches in group {key} (see duplicate-id note)"
                         )
                 if verify_grouping:
                     last_doc = batch.column("doc_id")[int(i1 - 1)].as_py()
@@ -392,7 +412,11 @@ def prepare_grouped(
     num_parts = cfg.shuffle_partitions or max(
         sum(salts.values()), df.sparkSession.sparkContext.defaultParallelism
     )
-    return repartition_for_encode(with_part_id(df, salts), num_parts)
+    return repartition_for_encode(
+        with_part_id(df, salts),
+        num_parts,
+        content_cols=("tokens",) + tuple(cfg.extra_columns),
+    )
 
 
 def compact_chunks(
@@ -410,7 +434,8 @@ def compact_chunks(
     tests/test_spark_pipeline.py::test_compaction_restores_canonical_chunks."""
     from copybook_rs_spark.operators.decode import decode_tokens
 
-    return encode_tokens(decode_tokens(chunk_df), cfg, salts=salts)
+    cfg = cfg or EncodeConfig()
+    return encode_tokens(decode_tokens(chunk_df, cfg=cfg), cfg, salts=salts)
 
 
 def encode_tokens(

@@ -69,17 +69,23 @@ def with_part_id(df: DataFrame, salts: dict[str, int]) -> DataFrame:
     )
 
 
-def repartition_for_encode(df: DataFrame, num_partitions: int) -> DataFrame:
+def repartition_for_encode(
+    df: DataFrame,
+    num_partitions: int,
+    content_cols: tuple[str, ...] = ("tokens",),
+) -> DataFrame:
     """Co-locate each (source, part_id) group in one task, deterministic
     order within: the Spark translation of the reference's reader->workers->
     reorder triangle (SURVEY.md §3.1).
 
     The schema allows duplicate doc_ids; without a tiebreaker their relative
     order would be shuffle arrival order and chunk bytes would stop being a
-    pure function of the data (invariant 2). xxhash64(tokens) is
+    pure function of the data (invariant 2). xxhash64 over ALL content
+    columns (tokens + any configured extra array columns) is
     content-derived, so duplicates sort deterministically; rows that tie on
     BOTH keys are identical rows (n_tok is derived), where order cannot
     affect bytes."""
+    tie = F.xxhash64(*[F.col(c) for c in content_cols])
     return df.repartition(num_partitions, "source", "part_id").sortWithinPartitions(
-        "source", "part_id", "doc_id", F.xxhash64("tokens")
+        "source", "part_id", "doc_id", tie
     )

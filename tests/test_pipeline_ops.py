@@ -120,7 +120,7 @@ def test_lsh_mega_bucket_capped(spark):
     pair_set = {(r["id_a"], r["id_b"]) for r in cands}
     assert (1000, 1001) in pair_set  # real near-dups survive
     assert all(a >= 1000 for a, _ in pair_set)  # boilerplate bucket dropped
-    dropped = bucket_sizes(df, n_seeds=16, band_size=2).filter("n_docs > 100")
+    dropped = bucket_sizes(df).filter("n_docs > 100")  # same defaults as candidates
     assert dropped.count() == 8  # the boilerplate cluster, once per band
 
 

@@ -168,6 +168,94 @@ def test_extra_array_columns_roundtrip(spark):
     assert aux_only.count() == 300
 
 
+def test_extras_duplicate_ids_deterministic(spark):
+    # the content tiebreaker must cover extra columns too: duplicate doc_ids
+    # with identical tokens but DIFFERENT aux arrays must still produce
+    # shuffle-order-independent chunk bytes
+    rows = []
+    for i in range(200):
+        rows.append((f"dup_{i % 5}", [1, 2, 3], 3, "web", [int(i)] * (i % 4 + 1)))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, tokens array<int>, n_tok int, source string, aux array<bigint>",
+    )
+    cfg_a = EncodeConfig(extra_columns=("aux",), chunk_values=256,
+                         target_values_per_part=1024, shuffle_partitions=2)
+    cfg_b = EncodeConfig(extra_columns=("aux",), chunk_values=256,
+                         target_values_per_part=1024, shuffle_partitions=11)
+    assert _chunk_content_hash(encode_tokens(df, cfg_a)) == _chunk_content_hash(
+        encode_tokens(df, cfg_b)
+    )
+
+
+def test_compaction_preserves_extras_and_int64(spark):
+    # compact_chunks must be lossless for the generalized schemas too
+    from copybook_rs_spark.operators.encode import compact_chunks
+
+    rows = [
+        (f"d{i:04d}", [3_000_000_000 + i, 7], 2, "web", [i * 11, i])
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, tokens array<bigint>, n_tok int, source string, aux array<bigint>",
+    )
+    cfg = EncodeConfig(token_dtype="int64", extra_columns=("aux",),
+                       chunk_values=64, target_values_per_part=256,
+                       shuffle_partitions=4)
+    chunks = encode_tokens(df, cfg)
+    compacted = compact_chunks(chunks, cfg)
+    assert _chunk_content_hash(compacted) == _chunk_content_hash(chunks)
+    dec = decode_tokens(compacted, cfg=cfg)
+    bad = (
+        df.select("doc_id", F.col("tokens").alias("ta"), F.col("aux").alias("xa"))
+        .join(dec.select("doc_id", F.col("tokens").alias("tb"), F.col("aux").alias("xb")),
+              "doc_id", "full_outer")
+        .filter(F.col("ta").isNull() | F.col("tb").isNull()
+                | (F.col("ta") != F.col("tb")) | (F.col("xa") != F.col("xb")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_int64_table_audits_clean(spark):
+    # audit must not flag valid int64 tokens as out-of-int32-range
+    from copybook_rs_spark.operators.audit import audit_summary
+
+    rows = [(f"d{i:04d}", [3_000_000_000 + i], 1, "web") for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<bigint>, n_tok int, source string"
+    )
+    cfg = EncodeConfig(token_dtype="int64", chunk_values=64,
+                       target_values_per_part=256, shuffle_partitions=2)
+    chunks = encode_tokens(df, cfg)
+    rep = audit_summary(chunks, cfg=cfg).collect()
+    assert all(r["n_error"] == 0 for r in rep)
+
+
+def test_pregrouped_rejects_duplicate_ids(spark):
+    from copybook_rs_spark.errors import PipelineContractError
+    from copybook_rs_spark.operators.encode import prepare_grouped
+    from pyspark.sql.utils import PythonException
+
+    rows = [("dup", list(range(5)), 5, "web") for _ in range(10)]
+    rows += [(f"u{i}", [i], 1, "web") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    cfg = EncodeConfig(chunk_values=64, target_values_per_part=256, shuffle_partitions=2)
+    grouped = prepare_grouped(df, cfg)
+    with pytest.raises(Exception, match="CBSP300"):
+        encode_tokens(grouped, cfg, pregrouped=True).count()
+
+
+def test_run_decode_rejects_unknown_columns(spark, tok_df, tmp_path):
+    from copybook_rs_spark.functions.projection import UnknownColumnError
+    from copybook_rs_spark.operators.decode import run_decode
+
+    chunks = encode_tokens(tok_df.limit(50), CFG)
+    with pytest.raises(UnknownColumnError):
+        run_decode(chunks, str(tmp_path / "x"), columns=["doc_id", "token"])
+
+
 def test_encode_repeat_identical(spark, tok_df):
     h1 = _chunk_content_hash(encode_tokens(tok_df, CFG))
     h2 = _chunk_content_hash(encode_tokens(tok_df, CFG))
