@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -24,16 +25,32 @@ from copybook_rs_spark.config import EncodeConfig
 
 ENVELOPE_SCHEMA_NAME = "cbsp.v1"
 
-_ENVELOPE_STRUCT = StructType(
-    [
+_TYPE_MAP = {
+    "string": StringType(),
+    "int": IntegerType(),
+    "array<int>": ArrayType(IntegerType(), False),
+    "array<bigint>": ArrayType(LongType(), False),
+}
+
+
+def _payload_fields(cfg: EncodeConfig) -> list[str]:
+    # fixed emission order: canonical fields first (doc_id, n_tok, source,
+    # tokens — the round-1 envelope layout, kept stable), then extras
+    extras = [c for c, _ in cfg.fields() if c not in
+              ("doc_id", "tokens", "n_tok", "source")]
+    return ["doc_id", "n_tok", "source", "tokens"] + extras
+
+
+def _envelope_struct(cfg: EncodeConfig) -> StructType:
+    types = dict(cfg.fields())
+    fields = [
         StructField("schema", StringType(), False),
         StructField("schema_fingerprint", StringType(), False),
-        StructField("doc_id", StringType(), False),
-        StructField("n_tok", IntegerType(), False),
-        StructField("source", StringType(), False),
-        StructField("tokens", ArrayType(IntegerType(), False), False),
     ]
-)
+    fields.extend(
+        StructField(c, _TYPE_MAP[types[c]], False) for c in _payload_fields(cfg)
+    )
+    return StructType(fields)
 
 
 def to_jsonl(df: DataFrame, cfg: EncodeConfig | None = None) -> DataFrame:
@@ -43,10 +60,7 @@ def to_jsonl(df: DataFrame, cfg: EncodeConfig | None = None) -> DataFrame:
     env = F.struct(
         F.lit(ENVELOPE_SCHEMA_NAME).alias("schema"),
         F.lit(cfg.fingerprint).alias("schema_fingerprint"),
-        F.col("doc_id"),
-        F.col("n_tok"),
-        F.col("source"),
-        F.col("tokens"),
+        *[F.col(c) for c in _payload_fields(cfg)],
     )
     return df.select(F.to_json(env).alias("value"))
 
@@ -66,7 +80,7 @@ def from_jsonl(
     cfg = cfg or EncodeConfig()
     col = "value" if "value" in lines.columns else lines.columns[0]
     parsed = lines.select(
-        F.from_json(F.col(col), _ENVELOPE_STRUCT).alias("env")
+        F.from_json(F.col(col), _envelope_struct(cfg)).alias("env")
     ).select("env.*")
     ok = (
         F.col("schema").isNotNull()
@@ -82,4 +96,5 @@ def from_jsonl(
             raise PayloadCorruptError(
                 f"{bad} JSONL line(s) malformed or foreign-fingerprinted"
             )
-    return parsed.filter(ok).select("doc_id", "tokens", "n_tok", "source")
+    out_cols = [c for c, _ in cfg.fields()]
+    return parsed.filter(ok).select(*out_cols)

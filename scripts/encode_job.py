@@ -44,6 +44,14 @@ def main() -> int:
         "shuffle entirely; layout violations fail with CBSP300",
     )
     ap.add_argument(
+        "--token-dtype", default="int32", choices=["int32", "int64"],
+        help="element type of the tokens column (schema-fingerprinted)",
+    )
+    ap.add_argument(
+        "--extra-columns", default="",
+        help="comma-separated extra integer array columns to encode alongside tokens",
+    )
+    ap.add_argument(
         "--derive-tokens",
         action="store_true",
         help="input is a testdata sf dir; derive the token table from lineitem",
@@ -65,7 +73,13 @@ def main() -> int:
     else:
         df = spark.read.parquet(args.input)
 
-    cfg = EncodeConfig(codec=args.codec, chunk_values=args.chunk_values)
+    extras = tuple(c for c in args.extra_columns.split(",") if c)
+    cfg = EncodeConfig(
+        codec=args.codec,
+        chunk_values=args.chunk_values,
+        token_dtype=args.token_dtype,
+        extra_columns=extras,
+    )
     salts = None if args.pregrouped else plan_salts(
         df, cfg.target_values_per_part, cfg.max_salt
     )

@@ -50,6 +50,44 @@ def test_chunk_filter_pushdown(spark, written):
     assert "PartitionFilters" in plan
 
 
+def test_token_range_chunk_skip(spark, written):
+    from copybook_rs_spark.operators.decode import filter_chunks_by_token_range
+
+    chunks = mani.read_chunks(spark, written)
+    total = chunks.count()
+    # a narrow band: chunk-level envelopes must skip some chunks, and the
+    # comparison must reach the parquet scan as a pushed filter
+    cand = filter_chunks_by_token_range(chunks, lo=0, hi=50)
+    plan = cand._jdf.queryExecution().executedPlan().toString().replace(" ", "")
+    assert "PushedFilters" in plan and "min_token" in plan
+    kept = cand.count()
+    assert 0 < kept < total
+    # completeness: every doc holding an in-range token survives the skip
+    full = decode_tokens(chunks).filter(F.exists("tokens", lambda t: t <= 50))
+    skipped = decode_tokens(cand, min_parallelism=8).filter(
+        F.exists("tokens", lambda t: t <= 50)
+    )
+    assert full.count() == skipped.count()
+
+
+def test_jsonl_generalized_schema_roundtrip(spark):
+    # envelope carries the config schema: int64 tokens + extra columns
+    rows = [
+        (f"d{i:03d}", [3_000_000_000 + i, 5], 2, "web", [i * 7, i, 1])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, tokens array<bigint>, n_tok int, source string, aux array<bigint>",
+    )
+    cfg = EncodeConfig(token_dtype="int64", extra_columns=("aux",))
+    back = from_jsonl(to_jsonl(df, cfg), cfg)
+    assert back.columns == ["doc_id", "tokens", "n_tok", "source", "aux"]
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+    # a differently-shaped engine rejects these lines (fingerprint check)
+    assert from_jsonl(to_jsonl(df, cfg)).count() == 0
+
+
 def test_manifest_join_broadcasts(spark, written):
     # resume anti-join must broadcast the (small) committed-groups side
     tok = token_table(spark, SF)
