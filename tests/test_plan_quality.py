@@ -70,6 +70,32 @@ def test_token_range_chunk_skip(spark, written):
     assert full.count() == skipped.count()
 
 
+def test_projection_alias_expansion(spark):
+    # RENAMES analogue: aliases expand to their covered columns BEFORE the
+    # dependency closure, and the `content` alias follows the config schema
+    from copybook_rs_spark.functions.projection import (
+        UnknownColumnError,
+        projection_closure,
+    )
+
+    avail = ["doc_id", "tokens", "n_tok", "source", "aux"]
+    # built-in: content -> tokens (+ closure adds the ODO counter n_tok)
+    assert projection_closure(["content"], avail) == ["tokens", "n_tok"]
+    assert projection_closure(["identity"], avail) == ["doc_id", "source"]
+    # schema-driven: extras join `content`
+    cfg = EncodeConfig(extra_columns=("aux",))
+    assert projection_closure(["content"], avail, cfg=cfg) == [
+        "tokens", "aux", "n_tok",
+    ]
+    # user alias (level-66 RENAMES), with the unknown-target error naming
+    # the alias it came from
+    assert projection_closure(
+        ["meta"], avail, aliases={"meta": ("source", "n_tok")}
+    ) == ["source", "n_tok"]
+    with pytest.raises(UnknownColumnError, match="expanded from alias"):
+        projection_closure(["meta"], avail, aliases={"meta": ("missing",)})
+
+
 def test_jsonl_generalized_schema_roundtrip(spark):
     # envelope carries the config schema: int64 tokens + extra columns
     rows = [
