@@ -149,6 +149,12 @@ def main() -> None:
         "--pin", action="store_true",
         help="taskset each level to exactly N / 4N CPUs (fixed-size-executor emulation)",
     )
+    ap.add_argument(
+        "--pairs", type=int, default=1,
+        help="interleave this many N/4N child pairs (fresh JVM each) and take "
+        "the median per level — defends against host-level noise drift "
+        "between sequential runs",
+    )
     args = ap.parse_args()
     if not args.child and args.n < 1:
         ap.error("--n must be >= 1")
@@ -158,8 +164,23 @@ def main() -> None:
         child(args.cores, args.rep, args.runs, args.sf_dir, args.job)
         return
 
-    small = run_child(args.n, args.rep, args.runs, args.sf_dir, args.job, args.pin)
-    big = run_child(4 * args.n, args.rep, args.runs, args.sf_dir, args.job, args.pin)
+    smalls, bigs = [], []
+    for _ in range(args.pairs):
+        smalls.append(
+            run_child(args.n, args.rep, args.runs, args.sf_dir, args.job, args.pin)
+        )
+        bigs.append(
+            run_child(4 * args.n, args.rep, args.runs, args.sf_dir, args.job, args.pin)
+        )
+    small = min(smalls, key=lambda r: abs(
+        r["tokens_per_sec"] - statistics.median(x["tokens_per_sec"] for x in smalls)
+    ))
+    big = min(bigs, key=lambda r: abs(
+        r["tokens_per_sec"] - statistics.median(x["tokens_per_sec"] for x in bigs)
+    ))
+    if args.pairs > 1:
+        small = dict(small, all_tokens_per_sec=[x["tokens_per_sec"] for x in smalls])
+        big = dict(big, all_tokens_per_sec=[x["tokens_per_sec"] for x in bigs])
     eff = (big["tokens_per_sec"] / small["tokens_per_sec"]) / 4
     det = small["content_hash"] == big["content_hash"]
     result = {
@@ -199,6 +220,15 @@ def main() -> None:
         "",
         f"- scaling efficiency (T_4N/T_N)/4 = **{eff:.3f}** "
         f"({'PASS' if eff >= 0.8 else 'FAIL'} vs the >= 0.8 north-rule gate)",
+        *(
+            [
+                f"- interleaved {args.pairs} fresh-JVM pairs (median per level): "
+                f"N={small.get('all_tokens_per_sec')} "
+                f"4N={big.get('all_tokens_per_sec')} tok/s"
+            ]
+            if args.pairs > 1
+            else []
+        ),
         f"- chunk-table content hash identical across levels: **{det}** "
         f"(`{small['content_hash'][:16]}…`)",
         f"- compressed size: {small['bytes_per_token']} bytes/token",

@@ -174,6 +174,27 @@ def test_blob_extras_roundtrip_and_corruption():
         blob.decode_extras(b, 4)
 
 
+def test_blob_extras_truncation_sweep():
+    # every truncation prefix of the extras section either raises a typed
+    # CBSP* error or (full length) round-trips — no crash, no wrong data
+    rng = np.random.default_rng(33)
+    db = b"".join(f"d{i:03d}".encode() for i in range(40))
+    dl = np.full(40, 4, dtype=np.int64)
+    tl = rng.integers(0, 9, 40).astype(np.int64)
+    tv = rng.integers(0, 1000, int(tl.sum())).astype(np.int64)
+    el = rng.integers(0, 6, 40).astype(np.int64)
+    ev = rng.integers(-(2**40), 2**40, int(el.sum())).astype(np.int64)
+    b, _ = blob.encode_chunk(db, dl, tl, tv, extras=[("aux", el, ev)])
+    plain, _ = blob.encode_chunk(db, dl, tl, tv)
+    for cut in range(len(plain), len(b)):
+        try:
+            blob.decode_extras(b[:cut], 40)
+        except EngineError as e:
+            assert str(e).startswith("CBSP"), (cut, e)
+    full = blob.decode_extras(b, 40)
+    np.testing.assert_array_equal(full["aux"][1], ev)
+
+
 def test_error_codes_stable():
     # Every framing error carries a stable CBSP code (ERROR_CODES.md analogue)
     try:
