@@ -34,7 +34,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from copybook_rs_spark.config import EncodeConfig
-from copybook_rs_spark.operators.decode import TOKEN_SPARK_SCHEMA
 from copybook_rs_spark.operators.encode import encode_tokens
 from copybook_rs_spark.sources.manifest import (
     assert_unique_chunk_ids,
@@ -81,8 +80,14 @@ def incremental_encode(
     salts = salts or {}
     checkpoint = os.path.join(out_dir, "_checkpoint")
 
+    # stream schema follows the config (int64 tokens / extra array columns
+    # stream through the same sink unchanged)
+    from copybook_rs_spark.operators.decode import _build_schemas
+
+    cols = ("doc_id", "tokens", "n_tok", "source") + tuple(cfg.extra_columns)
+    _, stream_schema = _build_schemas(cfg, cols)
     stream = (
-        spark.readStream.schema(TOKEN_SPARK_SCHEMA)
+        spark.readStream.schema(stream_schema)
         .option("maxFilesPerTrigger", 16)
         .parquet(input_dir)
     )
