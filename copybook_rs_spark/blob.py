@@ -575,14 +575,17 @@ def _decode_values(
         or (int(intra_zz.min()) >= 0 and int(intra_zz.max()) < (1 << 32))
     ):
         # 32-bit lane (int32-range deltas can still zigzag up to 2**33-2;
-        # the rare wide-delta chunk falls through to the 64-bit lane)
+        # the rare wide-delta chunk falls through to the 64-bit lane).
+        # Per-doc rebase folds into ONE k-sized base vector, so the n-sized
+        # work is exactly: zigzag, scatter, cumsum, one gather-add.
         d32 = np.zeros(n_values, dtype=np.uint32)
         if len(intra_zz):
             zz32 = intra_zz.astype(np.uint32)
             d32[~is_start] = (zz32 >> np.uint32(1)) ^ -(zz32 & np.uint32(1))
         c32 = np.cumsum(d32, dtype=np.uint32)
-        doc_of = np.repeat(np.arange(k, dtype=np.int64), lens[nonempty])
-        out32 = firsts.astype(np.uint32)[doc_of] + c32 - c32[ne_starts][doc_of]
+        base32 = firsts.astype(np.uint32) - c32[ne_starts]  # per-doc, k-sized
+        doc_of = np.repeat(np.arange(k, dtype=np.int32), lens[nonempty])
+        out32 = c32 + base32[doc_of]
         return out32.view(np.int32)
     intra = vi.zigzag_decode(intra_zz.view(np.uint64))
     d = np.zeros(n_values, dtype=np.uint64)

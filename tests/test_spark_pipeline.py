@@ -218,6 +218,29 @@ def test_compaction_preserves_extras_and_int64(spark):
     assert bad == 0
 
 
+def test_pregrouped_path_with_extras_matches_exchange(spark, tmp_path):
+    # the zero-shuffle fast path over a persisted prepare_grouped layout
+    # must stay byte-identical to the exchange path for generalized schemas
+    from copybook_rs_spark.operators.encode import prepare_grouped
+
+    rows = [
+        (f"g{i:05d}", list(range(i % 20 + 1)), i % 20 + 1, "web", [i * 5, i])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, tokens array<int>, n_tok int, source string, aux array<bigint>",
+    )
+    cfg = EncodeConfig(extra_columns=("aux",), chunk_values=256,
+                       target_values_per_part=1024, shuffle_partitions=4)
+    layout = str(tmp_path / "grouped")
+    prepare_grouped(df, cfg).write.parquet(layout)
+    stored = spark.read.parquet(layout)
+    fast = encode_tokens(stored, cfg, pregrouped=True)
+    slow = encode_tokens(df, cfg)
+    assert _chunk_content_hash(fast) == _chunk_content_hash(slow)
+
+
 def test_int64_table_audits_clean(spark):
     # audit must not flag valid int64 tokens as out-of-int32-range
     from copybook_rs_spark.operators.audit import audit_summary
