@@ -51,12 +51,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _q_stats_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A3 codec-selection stats (FOR params): value range per source.
+    # Per-doc array_min/array_max fold BEFORE the groupBy, so nothing ever
+    # explodes tokens into rows (at 100 TB the explode would materialize
+    # 10^13 rows for a 3-row answer); the shuffle moves one partial
+    # aggregate per task.
     tok = token_table(spark, sf_dir)
-    ex = tok.select("source", F.explode("tokens").alias("token"))
-    return ex.groupBy("source").agg(
-        F.min("token").alias("min_token"),
-        F.max("token").alias("max_token"),
-        F.count("*").alias("n_values"),
+    return tok.groupBy("source").agg(
+        F.min(F.array_min("tokens")).alias("min_token"),
+        F.max(F.array_max("tokens")).alias("max_token"),
+        F.sum("n_tok").alias("n_values"),
     )
 
 
@@ -503,10 +506,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stats_minmax": f"""
             SELECT source,
-                   min(token) AS min_token,
-                   max(token) AS max_token,
-                   count(*) AS n_values
-            FROM (SELECT source, unnest(tokens) AS token FROM {_TOK})
+                   min(list_min(tokens)) AS min_token,
+                   max(list_max(tokens)) AS max_token,
+                   CAST(sum(n_tok) AS BIGINT) AS n_values
+            FROM {_TOK}
             GROUP BY source
         """,
         "stats_cardinality": f"""

@@ -7,3 +7,4 @@ incremental encode over a file stream with exactly-once sink semantics via
 foreachBatch + the manifest."""
 
 from copybook_rs_spark.streaming.incremental import incremental_encode  # noqa: F401
+from copybook_rs_spark.streaming.windows import windowed_event_counts  # noqa: F401

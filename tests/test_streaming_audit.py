@@ -135,6 +135,70 @@ def test_bounded_error_decode_policy(spark, tmp_path):
     assert clean["n_errors"] == 0
 
 
+def test_watermarked_window_finalizes_and_drops_late(spark, tmp_path):
+    # append-mode watermarked windows: a window emits exactly once when the
+    # watermark passes its end, and data later than the watermark is dropped
+    from copybook_rs_spark.streaming import windowed_event_counts
+
+    import os
+
+    in_dir = str(tmp_path / "ev_in")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "win_out")
+    schema = "ts timestamp, event_type string, value double"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    def run_stream():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            windowed_event_counts(stream, window="1 hour", watermark="30 minutes")
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if not os.path.isdir(out_dir):
+            return []
+        return spark.read.parquet(out_dir).collect()
+
+    import datetime as dt
+
+    T = lambda h, m: dt.datetime(2026, 1, 1, h, m)
+    # batch 1: three on-time events in [10:00, 11:00) + one at 12:00 that
+    # advances the watermark to 11:30 > 11:00, finalizing the 10:00 window
+    mk([(T(10, 5), "click", 1.0), (T(10, 20), "click", 2.0),
+        (T(10, 40), "view", 3.0), (T(12, 0), "click", 0.5)]).write.mode(
+        "append"
+    ).parquet(in_dir)
+    out1 = {(r["window_start"].hour, r["event_type"]): r["n_events"] for r in run_stream()}
+    assert out1[(10, "click")] == 2 and out1[(10, "view")] == 1
+    assert (12, "click") not in out1  # its window is not finalized yet
+
+    # batch 2: a LATE 10:30 event (watermark is 11:30) must be dropped;
+    # a 14:00 event finalizes the 12:00 window
+    mk([(T(10, 30), "click", 9.0), (T(14, 0), "view", 1.0)]).write.mode(
+        "append"
+    ).parquet(in_dir)
+    rows2 = run_stream()  # cumulative parquet: run-1 emissions + run-2 delta
+    out2 = {(r["window_start"].hour, r["event_type"]): r["n_events"] for r in rows2}
+    # late row dropped: the finalized 10:00 window was NOT re-emitted or
+    # changed (append emits each window exactly once)
+    n_10_click = [
+        r["n_events"] for r in rows2
+        if r["window_start"].hour == 10 and r["event_type"] == "click"
+    ]
+    assert n_10_click == [2]
+    assert out2[(12, "click")] == 1
+
+
 def test_audit_all_ok(spark):
     df = synthetic_tokens(spark, "runs", 300)
     chunks = encode_tokens(df, CFG)
