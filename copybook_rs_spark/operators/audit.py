@@ -20,7 +20,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
 from copybook_rs_spark import blob
-from copybook_rs_spark.errors import EngineError
+from copybook_rs_spark.errors import CountMismatchError, EngineError
 
 AUDIT_SCHEMA = (
     "chunk_id string, source string, part_id int, status string, "
@@ -41,7 +41,7 @@ _AUDIT_PA = pa.schema(
 )
 
 
-def make_audit_kernel(check_int32: bool = True):
+def make_audit_kernel(check_int32: bool = True, extra_names: tuple = ()):
     def _audit_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             blobs = batch.column("blob")
@@ -62,11 +62,19 @@ def make_audit_kernel(check_int32: bool = True):
                     "n_values": 0,
                 }
                 try:
-                    _, doc_lens, lengths, values = blob.decode_chunk(
-                        blobs[i].as_py()
-                    )
+                    raw = blobs[i].as_py()
+                    _, doc_lens, lengths, values = blob.decode_chunk(raw)
                     row["n_rows"] = int(len(doc_lens))
                     row["n_values"] = int(len(values))
+                    if extra_names:
+                        # extras carry their own crc, independent of the
+                        # main body crc — audit them too
+                        ex = blob.decode_extras(raw, len(doc_lens))
+                        missing = [c for c in extra_names if c not in ex]
+                        if missing:
+                            raise CountMismatchError(
+                                f"extra column(s) {missing} absent from blob"
+                            )
                     if check_int32 and len(values) and (
                         values.min() < -(2**31) or values.max() >= 2**31
                     ):
@@ -91,10 +99,12 @@ def make_audit_kernel(check_int32: bool = True):
 def audit_chunks(chunk_df: DataFrame, cfg=None) -> DataFrame:
     """One status row per chunk; corrupt blobs are reported, not fatal.
     Pass the table's EncodeConfig so the value-range check matches the
-    schema (int64 token tables are NOT flagged as out-of-int32-range)."""
+    schema (int64 token tables are NOT flagged as out-of-int32-range) and
+    the independently-crc'd extras section is audited too."""
     check_int32 = cfg is None or cfg.token_dtype == "int32"
+    extra_names = tuple(cfg.extra_columns) if cfg is not None else ()
     return chunk_df.select("chunk_id", "source", "part_id", "blob").mapInArrow(
-        make_audit_kernel(check_int32), AUDIT_SCHEMA
+        make_audit_kernel(check_int32, extra_names), AUDIT_SCHEMA
     )
 
 

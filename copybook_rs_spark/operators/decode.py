@@ -70,6 +70,7 @@ _TOKEN_PA_SCHEMA = pa.schema(
 
 _ALL_COLUMNS = ("doc_id", "tokens", "n_tok", "source")
 _COALESCE_ROWS = 16384
+_COALESCE_BYTES = 16 << 20
 
 
 def _build_schemas(cfg, cols: tuple[str, ...]):
@@ -225,12 +226,17 @@ def make_decode_kernel(
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         buf: list[pa.RecordBatch] = []
         rows = 0
+        nbytes = 0
         for rb in raw(batches):
             buf.append(rb)
             rows += rb.num_rows
-            if rows >= _COALESCE_ROWS:
+            nbytes += rb.nbytes
+            # flush on EITHER bound: the byte bound keeps long-document
+            # tables (few rows, huge arrays) from buffering unbounded data
+            # or overflowing a combined batch's int32 list offsets
+            if rows >= _COALESCE_ROWS or nbytes >= _COALESCE_BYTES:
                 yield from pa.Table.from_batches(buf).combine_chunks().to_batches()
-                buf, rows = [], 0
+                buf, rows, nbytes = [], 0, 0
         if buf:
             yield from pa.Table.from_batches(buf).combine_chunks().to_batches()
 

@@ -25,21 +25,24 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     winning row through the aggregation, so no groupBy + self-join."""
     digest = F.md5(F.col(text_col))
     w = df.withColumn("_digest", digest)
-    # doc_id leads the struct so min() picks the min-doc_id row; remaining
-    # fields break doc_id ties deterministically (the schema allows
-    # duplicate ids), unlike min_by whose tie winner is undefined
-    ordered = F.struct(
-        F.col("doc_id"), *[F.col(c) for c in df.columns if c != "doc_id"]
-    )
+    # min_by keeps the full row (any column types); the ORDERING key is
+    # doc_id plus the remaining ORDERABLE columns, so duplicate min-doc_ids
+    # still pick a deterministic winner (rows differing only in unorderable
+    # columns, e.g. maps, remain a documented tie)
+    orderable = [
+        c for c, t in df.dtypes if c != "doc_id" and not t.startswith("map")
+    ]
+    key = F.struct(F.col("doc_id"), *[F.col(c) for c in orderable])
+    row = F.struct(*[F.col(c) for c in df.columns])
     return (
         w.groupBy("_digest")
-        .agg(F.min(ordered).alias("_row"))
+        .agg(F.min_by(row, key).alias("_row"))
         .select(*[F.col(f"_row.{c}").alias(c) for c in df.columns])
     )
 
 
 def minhash_buckets(
-    df: DataFrame, n_seeds: int = 8, band_size: int = 4, text_col: str = "text"
+    df: DataFrame, n_seeds: int = 16, band_size: int = 2, text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, band_idx, bucket) — the LSH candidate index.
 
@@ -75,10 +78,8 @@ def minhash_buckets(
 def bucket_sizes(df: DataFrame, **kw) -> DataFrame:
     """(band_idx, bucket, n_docs) — observability face of the LSH index;
     feed `.filter(n_docs > cap)` to audit what near_dup_candidates drops.
-    Uses the SAME band defaults as near_dup_candidates so the audit
-    inspects the same index."""
-    kw.setdefault("n_seeds", 16)
-    kw.setdefault("band_size", 2)
+    Band defaults live on minhash_buckets itself, so every caller audits
+    the same index."""
     return (
         minhash_buckets(df, **kw)
         .groupBy("band_idx", "bucket")
@@ -102,8 +103,6 @@ def near_dup_candidates(
     P[candidate] = 1 - (1 - s^2)^8 ~ 0.9997 at shingle-Jaccard s = 0.8
     (vs 0.66 for the old 2x4 default); tested against exact Jaccard in
     tests/test_pipeline_ops.py::test_lsh_recall_vs_exact_jaccard."""
-    kw.setdefault("n_seeds", 16)
-    kw.setdefault("band_size", 2)
     b = minhash_buckets(df, **kw)
     sizes = b.groupBy("band_idx", "bucket").agg(F.count("*").alias("_bsz"))
     keep = b.join(

@@ -435,6 +435,16 @@ def compact_chunks(
     from copybook_rs_spark.operators.decode import decode_tokens
 
     cfg = cfg or EncodeConfig()
+    # lossless-maintenance guard: a cfg that does not match the table's
+    # schema fingerprint would silently drop extras / misread dtypes
+    fps = [r["schema_fp"] for r in chunk_df.select("schema_fp").distinct().collect()]
+    bad = [f for f in fps if f != cfg.fingerprint]
+    if bad:
+        raise PipelineContractError(
+            f"compact_chunks: table schema_fp {bad[0][:12]}… does not match "
+            f"cfg fingerprint {cfg.fingerprint[:12]}… — pass the EncodeConfig "
+            "the table was written with"
+        )
     return encode_tokens(decode_tokens(chunk_df, cfg=cfg), cfg, salts=salts)
 
 

@@ -86,8 +86,9 @@ def from_jsonl(
         F.col("schema").isNotNull()
         & (F.col("schema") == ENVELOPE_SCHEMA_NAME)
         & (F.col("schema_fingerprint") == cfg.fingerprint)
-        & F.col("tokens").isNotNull()
     )
+    for c, _ in cfg.fields():  # every payload field must be present
+        ok = ok & F.col(c).isNotNull()
     if on_error == "fail":
         from copybook_rs_spark.errors import PayloadCorruptError
 

@@ -73,7 +73,7 @@ def main() -> int:
     else:
         df = spark.read.parquet(args.input)
 
-    extras = tuple(c for c in args.extra_columns.split(",") if c)
+    extras = tuple(c.strip() for c in args.extra_columns.split(",") if c.strip())
     cfg = EncodeConfig(
         codec=args.codec,
         chunk_values=args.chunk_values,

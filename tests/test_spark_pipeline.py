@@ -241,6 +241,52 @@ def test_pregrouped_path_with_extras_matches_exchange(spark, tmp_path):
     assert _chunk_content_hash(fast) == _chunk_content_hash(slow)
 
 
+def test_audit_catches_corrupt_extras(spark):
+    # the extras section has its own crc, independent of the main body crc:
+    # a schema-aware audit must decode it too
+    from copybook_rs_spark.operators.audit import audit_chunks
+
+    rows = [(f"d{i:04d}", [1, 2, 3], 3, "web", [i, i * 2]) for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string, aux array<bigint>"
+    )
+    cfg = EncodeConfig(extra_columns=("aux",), chunk_values=128,
+                       target_values_per_part=512, shuffle_partitions=2)
+    chunks = encode_tokens(df, cfg).cache()
+    # flip a byte near the END of each blob (inside the trailing extras)
+    corrupted = chunks.withColumn(
+        "blob",
+        F.expr(
+            "concat(substring(blob, 1, length(blob) - 6), X'5A', "
+            "substring(blob, length(blob) - 4, 5))"
+        ),
+    )
+    from copybook_rs_spark.operators.audit import audit_summary
+
+    clean_errs = sum(r["n_error"] for r in audit_summary(chunks, cfg=cfg).collect())
+    assert clean_errs == 0
+    bad_errs = sum(r["n_error"] for r in audit_summary(corrupted, cfg=cfg).collect())
+    assert bad_errs == chunks.count()  # every tampered extras section caught
+    # without cfg, the tamper is invisible (main body crc untouched)
+    blind = sum(r["n_error"] for r in audit_summary(corrupted).collect())
+    assert blind == 0
+
+
+def test_compact_rejects_mismatched_config(spark):
+    from copybook_rs_spark.errors import PipelineContractError
+    from copybook_rs_spark.operators.encode import compact_chunks
+
+    rows = [(f"d{i:04d}", [1, 2], 2, "web", [i]) for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string, aux array<bigint>"
+    )
+    cfg = EncodeConfig(extra_columns=("aux",), chunk_values=64,
+                       target_values_per_part=256, shuffle_partitions=2)
+    chunks = encode_tokens(df, cfg)
+    with pytest.raises(PipelineContractError, match="schema_fp"):
+        compact_chunks(chunks)  # default cfg would silently drop aux
+
+
 def test_int64_table_audits_clean(spark):
     # audit must not flag valid int64 tokens as out-of-int32-range
     from copybook_rs_spark.operators.audit import audit_summary
