@@ -335,6 +335,39 @@ class _SampleParam:
         return a
 
 
+def _hadoop_path(spark, path: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _publish_staging(spark, staging: str, out_dir: str) -> None:
+    """Atomically promote the staging directory to out_dir (delete-then-
+    rename through the Hadoop FS API, so it works on any Spark filesystem).
+    run_decode only calls this AFTER the error-budget check passes — a
+    failed run leaves no complete-looking dataset at out_dir."""
+    fs, src = _hadoop_path(spark, staging)
+    dst = spark._jvm.org.apache.hadoop.fs.Path(out_dir)
+    if fs.exists(dst):
+        fs.delete(dst, True)
+    parent = dst.getParent()
+    if parent is not None and not fs.exists(parent):
+        fs.mkdirs(parent)
+    if not fs.rename(src, dst):
+        raise EngineError(
+            f"failed to publish decode output {staging} -> {out_dir}",
+            code="CBSP301",
+        )
+
+
+def _drop_staging(spark, staging: str) -> None:
+    try:
+        fs, p = _hadoop_path(spark, staging)
+        if fs.exists(p):
+            fs.delete(p, True)
+    except Exception:
+        pass  # best-effort cleanup; the staging suffix marks it non-final
+
+
 def run_decode(
     chunk_df: DataFrame,
     out_dir: str,
@@ -362,9 +395,14 @@ def run_decode(
     decoded = src.mapInArrow(
         make_decode_kernel(cols, out_pa, opts, err_acc, sample_acc, tok64), out_spark
     )
+    # Write to a staging path and publish AFTER the budget check: a lenient
+    # run that exceeds max_errors must not leave a complete-looking parquet
+    # dataset (with _SUCCESS) at out_dir for later consumers to find.
+    staging = out_dir.rstrip("/") + ".__staging__"
     try:
-        decoded.write.mode("overwrite").parquet(out_dir)
+        decoded.write.mode("overwrite").parquet(staging)
     except Exception as e:
+        _drop_staging(spark, staging)
         # a task-side budget abort (or fail_fast) arrives wrapped by Py4J;
         # surface it as the typed driver-side error
         if "CBSP205" in str(e):
@@ -380,9 +418,11 @@ def run_decode(
         "out_dir": out_dir,
     }
     if opts.policy == "lenient" and n_errors > opts.max_errors:
+        _drop_staging(spark, staging)
         raise ErrorBudgetExceededError(
             f"decode finished with {n_errors} corrupt chunks "
             f"> max_errors={opts.max_errors}; samples: "
             f"{summary['error_samples'][:3]}"
         )
+    _publish_staging(spark, staging, out_dir)
     return summary

@@ -43,7 +43,19 @@ def merge_manifest_parts(parts: DataFrame) -> DataFrame:
     codec names), so incremental writers maintain the manifest in
     O(batches x groups) instead of re-reading the whole chunk table
     (streaming/incremental.py). Output is identical to build_manifest over
-    the union of the underlying chunks."""
+    the union of the underlying chunks.
+
+    Mixing guard: parts written under different EncodeConfigs must never
+    merge silently (F.first would tag the row nondeterministically and the
+    compact_chunks schema_fp check downstream would trust a lie) — one
+    cheap job over the tiny parts table asserts a single fingerprint."""
+    n_fp = parts.select(F.countDistinct("schema_fp").alias("n")).first()["n"]
+    if n_fp > 1:
+        raise PipelineContractError(
+            f"merge_manifest_parts: {n_fp} distinct schema fingerprints in "
+            "manifest parts — chunk batches were written under different "
+            "EncodeConfigs and must not be merged into one manifest"
+        )
     return parts.groupBy("source", "part_id").agg(
         F.sum("n_chunks").alias("n_chunks"),
         F.sum("n_docs").alias("n_docs"),

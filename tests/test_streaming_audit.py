@@ -120,19 +120,40 @@ def test_bounded_error_decode_policy(spark, tmp_path):
     lost_docs = corrupted.filter("chunk_seq < 3").agg(F.sum("n_rows")).collect()[0][0]
     assert got.count() == df.count() - lost_docs
 
-    # budget < actual errors: typed failure after counting
+    # budget < actual errors: typed failure after counting — and NO
+    # complete-looking output dataset left behind (staging-path publish:
+    # out_dir only exists after the budget check passes)
+    import os
+
     with pytest.raises(ErrorBudgetExceededError, match="CBSP205"):
         run_decode(
             corrupted,
             str(tmp_path / "fail"),
             DecodeOptions(policy="lenient", max_errors=n_bad - 1),
         )
+    assert not os.path.exists(str(tmp_path / "fail"))
+    assert not os.path.exists(str(tmp_path / "fail.__staging__"))
 
     # clean table under the same policy: zero errors
     clean = run_decode(
         chunks, str(tmp_path / "clean"), DecodeOptions(policy="lenient", max_errors=0)
     )
     assert clean["n_errors"] == 0
+    assert os.path.exists(str(tmp_path / "clean") + "/_SUCCESS")
+    assert not os.path.exists(str(tmp_path / "clean.__staging__"))
+
+
+def test_merge_manifest_parts_rejects_mixed_schema_fp(spark):
+    df = synthetic_tokens(spark, "mixed", 200)
+    part = mani.build_manifest(encode_tokens(df, CFG))
+    other = part.withColumn("schema_fp", F.lit("deadbeef" * 8))
+    # homogeneous parts merge fine
+    assert mani.merge_manifest_parts(part.union(part)).count() > 0
+    # mixed fingerprints must fail typed, not first()-merge silently
+    from copybook_rs_spark.errors import PipelineContractError
+
+    with pytest.raises(PipelineContractError, match="schema fingerprints"):
+        mani.merge_manifest_parts(part.union(other))
 
 
 def test_watermarked_window_finalizes_and_drops_late(spark, tmp_path):
