@@ -351,6 +351,70 @@ def _q_extras_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embeddings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # float32 embedding arrays through the codec surface (typed extras,
+    # reference float type authority crates/copybook-core/src/schema.rs:
+    # 110-117): encode -> decode -> order-independent integer checksum.
+    # floor(x * 2^20) is exact (power-of-two scaling only shifts the
+    # exponent), so both engines compute the identical bigint per element;
+    # the decode itself is BIT-exact (raw-bits float lane, test_blob.py).
+    from copybook_rs_spark.operators import decode_tokens
+
+    cfg = EncodeConfig(
+        extra_columns=("emb:float32",), chunk_values=16384,
+        target_values_per_part=131_072,
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = emb.selectExpr(
+        "format_string('v%08d', vec_id) as doc_id",
+        "array(cast(label as int)) as tokens",
+        "cast(1 as int) as n_tok",
+        "cast(pmod(vec_id, 4) as string) as source",
+        "embedding as emb",
+    )
+    dec = decode_tokens(encode_tokens(df, cfg), cfg=cfg)
+    return dec.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.expr("size(emb)")).alias("n_floats"),
+        F.sum(F.expr("tokens[0]")).alias("label_sum"),
+        F.sum(
+            F.expr(
+                "aggregate(transform(emb, x -> cast(floor(cast(x as double)"
+                " * 1048576.0) as bigint)), cast(0 as bigint), (a, x) -> a + x)"
+            )
+        ).alias("emb_checksum"),
+    )
+
+
+def _q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # string extra column: documents.text compressed through the byte-stream
+    # codecs (FSST/alphabet-pack, codecs/fsst.py — reference analogue
+    # crates/copybook-charset/src/lib.rs:336, every string field codec-owned);
+    # checksum = md5-prefix bigint per doc, summed (order-independent)
+    from copybook_rs_spark.operators import decode_tokens
+
+    cfg = EncodeConfig(
+        extra_columns=("text:string",), chunk_values=16384,
+        target_values_per_part=131_072,
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = docs.selectExpr(
+        "format_string('d%08d', doc_id) as doc_id",
+        "array(cast(n_chars as int)) as tokens",
+        "cast(1 as int) as n_tok",
+        "source",
+        "text",
+    )
+    dec = decode_tokens(encode_tokens(df, cfg), cfg=cfg)
+    return dec.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars_total"),
+        F.sum(
+            F.expr("cast(conv(substr(md5(text), 1, 12), 16, 10) as bigint)")
+        ).alias("text_checksum"),
+    )
+
+
 def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: 64-bit SimHash fingerprints (numpy kernel)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -409,6 +473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_report": _q_audit_report,
         "int64_roundtrip": _q_int64_roundtrip,
         "extras_roundtrip": _q_extras_roundtrip,
+        "embeddings_roundtrip": _q_embeddings_roundtrip,
+        "text_roundtrip": _q_text_roundtrip,
         "stats_minmax": _q_stats_minmax,
         "stats_cardinality": _q_stats_cardinality,
         "run_count": _q_run_count,
@@ -503,6 +569,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(list_sum({_TOK64_DUCK})) AS BIGINT) AS aux_sum
             FROM lineitem
             GROUP BY l_returnflag
+        """,
+        "embeddings_roundtrip": """
+            SELECT CAST(vec_id % 4 AS VARCHAR) AS source,
+                   count(*) AS n_docs,
+                   CAST(sum(len(embedding)) AS BIGINT) AS n_floats,
+                   CAST(sum(label) AS BIGINT) AS label_sum,
+                   CAST(sum(list_sum(list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0)
+                             AS BIGINT)))) AS BIGINT) AS emb_checksum
+            FROM embeddings
+            GROUP BY 1
+        """,
+        "text_roundtrip": """
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS n_chars_total,
+                   CAST(sum(CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT))
+                        AS BIGINT) AS text_checksum
+            FROM documents
+            GROUP BY source
         """,
         "stats_minmax": f"""
             SELECT source,

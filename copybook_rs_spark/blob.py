@@ -4,14 +4,19 @@ golden SHA-256 fidelity discipline (crates/copybook-codec/src/roundtrip.rs:89).
 
 Layout (little-endian):
 
-  header (50 bytes, format v2):
+  header (50 bytes, format v3):
     magic   : 4s  = b"CBS1"
-    version : u8  = 2
+    version : u8  = 3
     vcodec  : u8  codec id of the values section (informational; sections
                   are themselves self-describing payloads)
     n_rows  : u32 documents in this chunk
     n_values: u64 total token values
-    crc32   : u32 over the concatenated sections
+    crc32   : u32 over the concatenated sections FOLLOWED BY the packed
+                  (vmin, vmax) pair — v3 change: the certified range is
+                  inside the checksum, so a deliberately rewritten header
+                  can no longer steer the int32 decode lane or chunk-skip
+                  pushdown without tripping the crc (previously only the
+                  heuristic decoded-min/max cross-check guarded it)
     sec_doc : u32 byte length of the doc_id section
     sec_len : u32 byte length of the lengths section
     sec_val : u32 byte length of the values section
@@ -86,10 +91,19 @@ from copybook_rs_spark.errors import (
 )
 
 MAGIC = b"CBS1"
-VERSION = 2
+VERSION = 3
 _HEADER = struct.Struct("<4sBBIQIIIIqq")
 HEADER_LEN = _HEADER.size
 _U32 = struct.Struct("<I")
+_VRANGE = struct.Struct("<qq")
+
+
+def _body_crc(body, vmin: int, vmax: int) -> int:
+    """crc32 over sections + certified (vmin, vmax) — running update, no
+    body copy. Covers the header fields that decode TRUSTS (the 32-bit
+    lane gate and chunk-skip envelope) without re-checksumming the purely
+    structural lengths, which every section validates against anyway."""
+    return zlib.crc32(_VRANGE.pack(vmin, vmax), zlib.crc32(body)) & 0xFFFFFFFF
 
 
 _PACK_ALPHABET_MAX = 16
@@ -600,35 +614,161 @@ def _decode_values(
     return out.view(np.int64)
 
 
-def _encode_extras(extras: list[tuple[str, np.ndarray, np.ndarray]]) -> bytes:
-    """Optional trailing section for additional integer array columns
+ETYPE_INT64 = 0
+ETYPE_FLOAT32 = 1
+ETYPE_FLOAT64 = 2
+ETYPE_STRING = 3
+ETYPE_IDS = {
+    "int64": ETYPE_INT64,
+    "float32": ETYPE_FLOAT32,
+    "float64": ETYPE_FLOAT64,
+    "string": ETYPE_STRING,
+}
+ETYPE_NAMES = {v: k for k, v in ETYPE_IDS.items()}
+_FLOAT_DTYPES = {ETYPE_FLOAT32: np.float32, ETYPE_FLOAT64: np.float64}
+
+
+def _encode_float_section(vals: np.ndarray) -> bytes:
+    """Lossless lightweight float lane — never via decimal/rounding, so
+    every bit pattern (incl. NaN payloads, -0.0, denormals) survives
+    (reference float type authority: crates/copybook-core/src/
+    schema.rs:110-117, numeric.rs FloatSingle/FloatDouble).
+
+      section := mode:u8 then
+        mode 0: int payload over the raw bit patterns (float32 bits
+                zero-extended to int64; float64 bits as the signed view).
+                Auto-selection then captures quantized/repeated embeddings
+                via dict/rle/patch for free.
+        mode 1: byte-plane split (the byte-shuffle transform): plane j =
+                byte j of every value, each plane its own int payload —
+                sign/exponent planes are low-entropy even when mantissas
+                are random, so planes compress independently.
+    Strictly-smaller candidate wins; pure function of the bits."""
+    itemsize = vals.dtype.itemsize
+    v = np.ascontiguousarray(vals)
+    if itemsize == 4:
+        bits = v.view(np.uint32).astype(np.int64)
+    else:
+        bits = v.view(np.uint64).view(np.int64)
+    p0, _ = core.encode_array(bits, codec="auto")
+    best = b"\x00" + p0
+    n = len(v)
+    if n >= 64:
+        planes = v.view(np.uint8).reshape(n, itemsize)
+        parts = [b"\x01"]
+        for j in range(itemsize):
+            # full-depth auto: the sign/exponent planes are low-cardinality
+            # (dict/rle win), mantissa planes fall back to 8-bit bitpack
+            pj, _ = core.encode_array(planes[:, j].astype(np.int64), codec="auto")
+            parts.append(_U32.pack(len(pj)))
+            parts.append(pj)
+        cand = b"".join(parts)
+        if len(cand) < len(best):
+            best = cand
+    return best
+
+
+def _decode_float_section(buf: memoryview, n: int, etype: int) -> np.ndarray:
+    dtype = _FLOAT_DTYPES[etype]
+    itemsize = np.dtype(dtype).itemsize
+    if len(buf) < 1:
+        raise HeaderInvalidError("float section mode byte missing")
+    mode = buf[0]
+    body = buf[1:]
+    if mode == 0:
+        bits = core.decode_array(body)
+        if len(bits) != n:
+            raise CountMismatchError("float section: bits count mismatch")
+        if itemsize == 4:
+            if n and (int(bits.min()) < 0 or int(bits.max()) >= 1 << 32):
+                raise PayloadCorruptError("float32 bits outside 32-bit range")
+            return bits.astype(np.uint32).view(np.float32)
+        return bits.view(np.uint64).view(np.float64)
+    if mode != 1:
+        raise HeaderInvalidError(f"unknown float section mode {mode}")
+    out = np.empty((n, itemsize), dtype=np.uint8)
+    off = 0
+    for j in range(itemsize):
+        if len(body) < off + 4:
+            raise TruncatedBlobError("float plane length truncated")
+        (ln,) = _U32.unpack_from(body, off)
+        off += 4
+        if len(body) < off + ln:
+            raise TruncatedBlobError("float plane truncated")
+        plane = core.decode_array(body[off : off + ln])
+        off += ln
+        if len(plane) != n:
+            raise CountMismatchError("float plane count mismatch")
+        if n and (int(plane.min()) < 0 or int(plane.max()) > 255):
+            raise PayloadCorruptError("float plane byte out of range")
+        out[:, j] = plane.astype(np.uint8)
+    return out.view(dtype).ravel()
+
+
+def _encode_extras(
+    extras: list[tuple[str, str, np.ndarray, np.ndarray]],
+    fsst_cache: dict | None = None,
+) -> tuple[bytes, dict]:
+    """Optional trailing section for additional typed columns
     (schema-driven, config.EncodeConfig.extra_columns). Self-delimiting and
     crc-guarded independently (the main header/crc stay byte-identical, so
     single-column blobs are unchanged):
 
       extra := crc32:u32 n_extra:u8 then per column:
-               name_len:u8 name lens_len:u32 lens-payload
-               vals_len:u32 values-payload
+               name_len:u8 name etype:u8
+               lens_len:u32 lens-payload vals_len:u32 vals-section
+      etype/vals-section:
+        0 int64 array   -> int payload
+        1 float32 array -> float section (raw-bits / byte-plane, lossless)
+        2 float64 array -> float section
+        3 utf8 string   -> byte-stream section (raw/alphabet-pack/FSST,
+                           same grammar as the doc-id suffix stream);
+                           lens are per-ROW byte lengths
     Each column has its OWN per-document lengths (columns need not align),
-    validated against n_rows at decode."""
+    validated against n_rows at decode.
+
+    fsst_cache: {name: tables|[]|None} — per-STRING-column FSST reuse, the
+    same group-level contract as _encode_doc_bytes's cached_tables. Returns
+    (section bytes, {name: tables_used}) so the caller can cache."""
     parts = [bytes([len(extras)])]
-    for name, lens, vals in extras:
+    tables_out: dict = {}
+    for name, etype_name, lens, vals in extras:
         nb = name.encode()
         if len(nb) > 255:
             raise HeaderInvalidError(f"extra column name too long: {name!r}")
+        etype = ETYPE_IDS[etype_name]
         pl, _ = core.encode_array(lens, codec="auto", depth=1)
-        pv, _ = core.encode_array(vals, codec="auto")
+        if etype == ETYPE_INT64:
+            pv, _ = core.encode_array(vals, codec="auto")
+        elif etype in _FLOAT_DTYPES:
+            pv = _encode_float_section(vals)
+        else:  # string: vals is the concatenated utf8 byte stream (uint8)
+            cached = fsst_cache.get(name) if fsst_cache is not None else None
+            pv, used = _encode_doc_bytes(
+                np.ascontiguousarray(vals, dtype=np.uint8).tobytes(), cached
+            )
+            tables_out[name] = used
         parts.extend(
-            (bytes([len(nb)]), nb, _U32.pack(len(pl)), pl, _U32.pack(len(pv)), pv)
+            (
+                bytes([len(nb)]),
+                nb,
+                bytes([etype]),
+                _U32.pack(len(pl)),
+                pl,
+                _U32.pack(len(pv)),
+                pv,
+            )
         )
     body = b"".join(parts)
-    return _U32.pack(zlib.crc32(body) & 0xFFFFFFFF) + body
+    return _U32.pack(zlib.crc32(body) & 0xFFFFFFFF) + body, tables_out
 
 
 def decode_extras(
     blob_bytes: bytes | memoryview, n_rows: int
-) -> dict[str, tuple[np.ndarray, np.ndarray]]:
-    """Decode the trailing extras section -> {name: (lengths, values)}.
+) -> dict[str, tuple[str, np.ndarray, np.ndarray]]:
+    """Decode the trailing extras section -> {name: (etype, lengths, values)}
+    where etype is "int64"/"float32"/"float64"/"string" and values is an
+    int64 / float32 / float64 / uint8-byte-stream array respectively.
     Empty dict when the blob has no extras. Raises typed CBSP* errors on
     any corruption (own crc32 + per-column count checks)."""
     buf = memoryview(blob_bytes)
@@ -649,16 +789,20 @@ def decode_extras(
         raise CrcMismatchError("extras section crc32 mismatch")
     n_extra = body[0]
     off = 1
-    out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    out: dict[str, tuple[str, np.ndarray, np.ndarray]] = {}
     for _ in range(n_extra):
         if len(body) < off + 1:
             raise TruncatedBlobError("extras name length truncated")
         nl = body[off]
         off += 1
-        if len(body) < off + nl + 4:
+        if len(body) < off + nl + 5:
             raise TruncatedBlobError("extras name truncated")
         name = bytes(body[off : off + nl]).decode("utf-8")
         off += nl
+        etype = body[off]
+        off += 1
+        if etype not in ETYPE_NAMES:
+            raise HeaderInvalidError(f"extras[{name}]: unknown etype {etype}")
         (pl_len,) = _U32.unpack_from(body, off)
         off += 4
         if len(body) < off + pl_len + 4:
@@ -669,15 +813,22 @@ def decode_extras(
         off += 4
         if len(body) < off + pv_len:
             raise TruncatedBlobError("extras values truncated")
-        vals = core.decode_array(body[off : off + pv_len])
+        vbuf = body[off : off + pv_len]
         off += pv_len
         if len(lens) != n_rows:
             raise CountMismatchError(f"extras[{name}]: lengths count != n_rows")
         if n_rows and (lens < 0).any():
             raise PayloadCorruptError(f"extras[{name}]: negative length")
-        if int(lens.sum() if n_rows else 0) != len(vals):
+        n_vals = int(lens.sum()) if n_rows else 0
+        if etype == ETYPE_INT64:
+            vals: np.ndarray = core.decode_array(vbuf)
+        elif etype in _FLOAT_DTYPES:
+            vals = _decode_float_section(vbuf, n_vals, etype)
+        else:
+            vals = np.frombuffer(_decode_doc_bytes(vbuf, n_vals), dtype=np.uint8)
+        if n_vals != len(vals):
             raise CountMismatchError(f"extras[{name}]: values count mismatch")
-        out[name] = (lens, vals)
+        out[name] = (ETYPE_NAMES[etype], lens, vals)
     return out
 
 
@@ -688,13 +839,18 @@ def encode_chunk(
     values: np.ndarray,
     codec: str = "auto",
     doc_fsst_cache: list | None = None,
-    extras: list[tuple[str, np.ndarray, np.ndarray]] | None = None,
+    extras: list[tuple[str, str, np.ndarray, np.ndarray]] | None = None,
+    extras_fsst_cache: dict | None = None,
 ) -> tuple[bytes, dict]:
     """Build a chunk blob. Returns (blob, info) where info carries the chosen
-    values-codec name, the chunk statistics used for selection, and
+    values-codec name, the chunk statistics used for selection,
     info["doc_fsst_tables"] — the FSST stack used on the doc-id suffix
     stream (pass it back as doc_fsst_cache for later chunks of the same
-    group to skip re-training; see _encode_doc_bytes)."""
+    group to skip re-training; see _encode_doc_bytes) — and
+    info["extras_fsst_tables"] — the same per string-typed extra column.
+
+    extras entries are (name, etype, lens, vals) with etype one of
+    int64/float32/float64/string (see _encode_extras)."""
     n_rows = len(doc_lens)
     if len(lengths) != n_rows:
         raise CountMismatchError("doc_lens and lengths disagree")
@@ -710,7 +866,9 @@ def encode_chunk(
     doc_enc, doc_tables = _encode_doc_section(doc_bytes, doc_lens, doc_fsst_cache)
     doc_sec = _U32.pack(len(dl_payload)) + dl_payload + doc_enc
     body = doc_sec + len_payload + val_payload
-    crc = zlib.crc32(body) & 0xFFFFFFFF
+    vmin = stats.vmin if n_values else 0
+    vmax = stats.vmax if n_values else 0
+    crc = _body_crc(body, vmin, vmax)
     header = _HEADER.pack(
         MAGIC,
         VERSION,
@@ -721,20 +879,23 @@ def encode_chunk(
         len(doc_sec),
         len(len_payload),
         len(val_payload),
-        stats.vmin if n_values else 0,
-        stats.vmax if n_values else 0,
+        vmin,
+        vmax,
     )
     info = {
         "codec": vcodec,
         "stats": stats,
         "crc32": crc,
         "doc_fsst_tables": doc_tables,
+        "extras_fsst_tables": {},
     }
     if extras:
-        for name, el, ev in extras:
+        for name, _etype, el, ev in extras:
             if len(el) != n_rows:
                 raise CountMismatchError(f"extras[{name}]: lengths != n_rows")
-        return header + body + _encode_extras(extras), info
+        ex_sec, ex_tables = _encode_extras(extras, extras_fsst_cache)
+        info["extras_fsst_tables"] = ex_tables
+        return header + body + ex_sec, info
     return header + body, info
 
 
@@ -768,7 +929,7 @@ def decode_chunk(
     if len(buf) < end:
         raise TruncatedBlobError(f"blob truncated: need {end}, have {len(buf)}")
     body = buf[HEADER_LEN:end]
-    if (zlib.crc32(body) & 0xFFFFFFFF) != crc:
+    if _body_crc(body, vmin, vmax) != crc:
         raise CrcMismatchError("chunk body crc32 mismatch")
     doc_bytes: bytes | None = None
     doc_lens: np.ndarray | None = None

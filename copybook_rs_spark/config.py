@@ -49,20 +49,57 @@ class EncodeConfig:
     max_salt: int = 1 << 21
     shuffle_partitions: int | None = None
     # schema knobs (the reference's type-authority analogue,
-    # crates/copybook-arrow/src/schema_convert.rs:87-147): tokens may be
-    # int32 (default) or int64, and additional integer array columns ride
-    # along in the same chunk (each with its own per-doc lengths). The
-    # fingerprint covers the EFFECTIVE schema, so chunk tables written
-    # under different schemas can never be silently mixed.
+    # crates/copybook-arrow/src/schema_convert.rs:87-147, incl. its float
+    # coverage FloatSingle/FloatDouble at crates/copybook-core/src/
+    # schema.rs:110-117): tokens may be int32 (default) or int64, and
+    # additional typed columns ride along in the same chunk (each with its
+    # own per-doc lengths). An extra_columns entry is "name" (int64 array,
+    # the historical default) or "name:type" with type in
+    # {int64, float32, float64, string}; float arrays round-trip BIT-exact
+    # (raw-bits lanes, never via decimal/rounding) and string columns go
+    # through the byte-stream codecs (FSST/alphabet-pack). The fingerprint
+    # covers the EFFECTIVE schema, so chunk tables written under different
+    # schemas can never be silently mixed.
     token_dtype: str = "int32"
     extra_columns: tuple[str, ...] = ()
     fingerprint: str = ""
 
+    _RESERVED = ("doc_id", "tokens", "n_tok", "source", "part_id", "blob")
+    _EXTRA_TYPES = ("int64", "float32", "float64", "string")
+
     def __post_init__(self):
         if self.token_dtype not in ("int32", "int64"):
             raise ValueError(f"token_dtype {self.token_dtype!r}")
+        seen = set()
+        for name, etype in self.extra_specs():
+            if not name:
+                raise ValueError("extra_columns: empty column name")
+            if etype not in self._EXTRA_TYPES:
+                raise ValueError(
+                    f"extra_columns: unknown type {etype!r} for {name!r} "
+                    f"(expected one of {self._EXTRA_TYPES})"
+                )
+            if name in self._RESERVED:
+                raise ValueError(
+                    f"extra_columns: {name!r} collides with a reserved "
+                    f"token-table/engine column {self._RESERVED}"
+                )
+            if name in seen:
+                raise ValueError(f"extra_columns: duplicate column {name!r}")
+            seen.add(name)
         if not self.fingerprint:
             object.__setattr__(self, "fingerprint", schema_fingerprint(self.fields()))
+
+    def extra_specs(self) -> tuple[tuple[str, str], ...]:
+        """Parsed (name, type) per extra column; bare names mean int64."""
+        out = []
+        for c in self.extra_columns:
+            name, _, etype = c.partition(":")
+            out.append((name, etype or "int64"))
+        return tuple(out)
+
+    def extra_names(self) -> tuple[str, ...]:
+        return tuple(n for n, _ in self.extra_specs())
 
     def fields(self) -> tuple[tuple[str, str], ...]:
         elem = "int" if self.token_dtype == "int32" else "bigint"
@@ -72,5 +109,11 @@ class EncodeConfig:
             ("n_tok", "int"),
             ("source", "string"),
         ]
-        out.extend((c, "array<bigint>") for c in self.extra_columns)
+        sql_types = {
+            "int64": "array<bigint>",
+            "float32": "array<float>",
+            "float64": "array<double>",
+            "string": "string",
+        }
+        out.extend((n, sql_types[t]) for n, t in self.extra_specs())
         return tuple(out)

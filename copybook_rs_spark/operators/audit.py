@@ -102,7 +102,7 @@ def audit_chunks(chunk_df: DataFrame, cfg=None) -> DataFrame:
     schema (int64 token tables are NOT flagged as out-of-int32-range) and
     the independently-crc'd extras section is audited too."""
     check_int32 = cfg is None or cfg.token_dtype == "int32"
-    extra_names = tuple(cfg.extra_columns) if cfg is not None else ()
+    extra_names = cfg.extra_names() if cfg is not None else ()
     return chunk_df.select("chunk_id", "source", "part_id", "blob").mapInArrow(
         make_audit_kernel(check_int32, extra_names), AUDIT_SCHEMA
     )

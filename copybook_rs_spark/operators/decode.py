@@ -75,8 +75,23 @@ _COALESCE_BYTES = 16 << 20
 
 def _build_schemas(cfg, cols: tuple[str, ...]):
     """(arrow schema, spark schema) for the requested columns under the
-    config's token dtype + extra columns (extras decode as array<bigint>)."""
+    config's token dtype + typed extra columns."""
+    from pyspark.sql.types import DoubleType, FloatType
+
     tok64 = cfg is not None and cfg.token_dtype == "int64"
+    specs = dict(cfg.extra_specs()) if cfg is not None else {}
+    extra_pa = {
+        "int64": pa.list_(pa.int64()),
+        "float32": pa.list_(pa.float32()),
+        "float64": pa.list_(pa.float64()),
+        "string": pa.string(),
+    }
+    extra_sp = {
+        "int64": ArrayType(LongType(), False),
+        "float32": ArrayType(FloatType(), False),
+        "float64": ArrayType(DoubleType(), False),
+        "string": StringType(),
+    }
     pa_fields, sp_fields = [], []
     for c in cols:
         if c == "doc_id" or c == "source":
@@ -95,9 +110,10 @@ def _build_schemas(cfg, cols: tuple[str, ...]):
         elif c == "n_tok":
             pa_fields.append((c, pa.int32()))
             sp_fields.append(StructField(c, IntegerType(), False))
-        else:  # extra integer array column
-            pa_fields.append((c, pa.list_(pa.int64())))
-            sp_fields.append(StructField(c, ArrayType(LongType(), False), False))
+        else:  # typed extra column
+            et = specs.get(c, "int64")
+            pa_fields.append((c, extra_pa[et]))
+            sp_fields.append(StructField(c, extra_sp[et], False))
     return pa.schema(pa_fields), StructType(sp_fields)
 
 
@@ -123,15 +139,29 @@ def _decode_one(
                 raise EngineError(
                     f"blob carries no extra column {col!r}", code="CBSP203"
                 )
-            el, ev = extras[col]
+            etype, el, ev = extras[col]
             ex_off = np.zeros(n + 1, dtype=np.int32)
             np.cumsum(el, out=ex_off[1:])
-            arrays.append(
-                pa.ListArray.from_arrays(
-                    pa.array(ex_off),
-                    pa.array(np.ascontiguousarray(ev, dtype=np.int64), type=pa.int64()),
+            if etype == "string":
+                arrays.append(
+                    pa.StringArray.from_buffers(
+                        n,
+                        pa.py_buffer(ex_off.tobytes()),
+                        pa.py_buffer(np.ascontiguousarray(ev, dtype=np.uint8).tobytes()),
+                    )
                 )
-            )
+            else:
+                pa_t = {
+                    "int64": pa.int64(),
+                    "float32": pa.float32(),
+                    "float64": pa.float64(),
+                }[etype]
+                arrays.append(
+                    pa.ListArray.from_arrays(
+                        pa.array(ex_off),
+                        pa.array(np.ascontiguousarray(ev), type=pa_t),
+                    )
+                )
         elif col == "doc_id":
             # StringArray straight from (offsets, bytes) — no per-row Python
             doc_offsets = np.zeros(n + 1, dtype=np.int32)
@@ -255,7 +285,7 @@ def _plan_decode(
 ):
     """Shared column-resolution / schema / parallelism planning for
     decode_tokens and run_decode (single source of truth)."""
-    all_cols = _ALL_COLUMNS + (tuple(cfg.extra_columns) if cfg is not None else ())
+    all_cols = _ALL_COLUMNS + (cfg.extra_names() if cfg is not None else ())
     if columns is None:
         cols = all_cols
     else:

@@ -102,8 +102,8 @@ def _string_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return lens, raw
 
 
-def _list_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """(per-row lengths int64, flattened int values) of a list<int32> array."""
+def _list_parts(arr: pa.Array, dtype=np.int64) -> tuple[np.ndarray, np.ndarray]:
+    """(per-row lengths int64, flattened values as `dtype`) of a list array."""
     if arr.null_count:
         raise CodecError("tokens must be non-null")
     if pa.types.is_large_list(arr.type):
@@ -115,10 +115,38 @@ def _list_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     child = arr.values  # whole child array; index with absolute offsets
     child_np = child.to_numpy(zero_copy_only=False)
     vals = np.ascontiguousarray(
-        child_np[offsets[0] : offsets[-1]], dtype=np.int64
+        child_np[offsets[0] : offsets[-1]], dtype=dtype
     )
     lens = np.diff(offsets).astype(np.int64)
     return lens, vals
+
+
+_EXTRA_NP_DTYPES = {
+    "int64": np.int64,
+    "float32": np.float32,
+    "float64": np.float64,
+    "string": np.uint8,  # concatenated utf8 byte stream
+}
+
+
+def _extra_parts(batch: pa.RecordBatch, name: str, etype: str):
+    """(per-row lengths, flat value stream) for one extra column. Array
+    types come from list offsets; strings come from the utf8 buffers (lens
+    are per-row BYTE lengths)."""
+    col = batch.column(name)
+    if etype == "string":
+        return _string_parts(col)
+    return _list_parts(col, _EXTRA_NP_DTYPES[etype])
+
+
+def _extra_weight(etype: str, lens: np.ndarray) -> np.ndarray:
+    """Per-doc contribution of an extra column to the chunk value budget:
+    one unit per array element; string bytes count at 4 bytes/unit (the
+    token-value equivalence), so a chunk's memory footprint stays bounded
+    by ~4*chunk_values regardless of how wide the extras are."""
+    if etype == "string":
+        return (lens + 3) // 4
+    return lens
 
 
 class _GroupBuffer:
@@ -127,26 +155,35 @@ class _GroupBuffer:
     crates/copybook-codec-memory/src/streaming.rs:103)."""
 
     __slots__ = (
-        "source", "part_id", "seq", "doc_fsst", "extra_names",
+        "source", "part_id", "seq", "doc_fsst", "extra_specs", "ex_fsst",
         "doc_bytes", "doc_lens", "tok_lens", "tok_vals", "pending_values",
         "ex_lens", "ex_vals",
     )
 
-    def __init__(self, source: str, part_id: int, extra_names: tuple[str, ...] = ()):
+    def __init__(
+        self,
+        source: str,
+        part_id: int,
+        extra_specs: tuple[tuple[str, str], ...] = (),
+    ):
         self.source = source
         self.part_id = part_id
         self.seq = 0
         # FSST stack trained on this group's first chunk, reused for the
         # rest of the group (a pure function of group content — the group
-        # is processed by exactly one task in deterministic doc_id order)
+        # is processed by exactly one task in deterministic doc_id order);
+        # ex_fsst is the same contract per string-typed extra column
         self.doc_fsst: list | None = None
-        self.extra_names = extra_names
+        self.ex_fsst: dict[str, list | None] = {
+            n: None for n, t in extra_specs if t == "string"
+        }
+        self.extra_specs = extra_specs
         self.doc_bytes: list[np.ndarray] = []
         self.doc_lens: list[np.ndarray] = []
         self.tok_lens: list[np.ndarray] = []
         self.tok_vals: list[np.ndarray] = []
-        self.ex_lens: dict[str, list] = {c: [] for c in extra_names}
-        self.ex_vals: dict[str, list] = {c: [] for c in extra_names}
+        self.ex_lens: dict[str, list] = {n: [] for n, _ in extra_specs}
+        self.ex_vals: dict[str, list] = {n: [] for n, _ in extra_specs}
         self.pending_values = 0
 
     def add(
@@ -161,17 +198,22 @@ class _GroupBuffer:
         self.doc_lens.append(dl)
         self.tok_lens.append(tl)
         self.tok_vals.append(tv)
-        for c, (el, ev) in zip(self.extra_names, extras):
-            self.ex_lens[c].append(el)
-            self.ex_vals[c].append(ev)
-        self.pending_values += len(tv)
+        w = len(tv)
+        for (name, etype), (el, ev) in zip(self.extra_specs, extras):
+            self.ex_lens[name].append(el)
+            self.ex_vals[name].append(ev)
+            w += int(_extra_weight(etype, el).sum()) if len(el) else 0
+        self.pending_values += w
 
     @staticmethod
     def _cat(parts, dtype=np.int64):
         return np.concatenate(parts) if parts else np.empty(0, dtype)
 
     def flush(self, cfg: EncodeConfig, force: bool) -> list[dict]:
-        """Emit all complete chunks (and, if force, the final partial one)."""
+        """Emit all complete chunks (and, if force, the final partial one).
+        The chunk cut is by total VALUE WEIGHT (tokens + extra-array
+        elements + string bytes/4), so chunk memory stays bounded no matter
+        how wide the extras are — and remains a pure function of the data."""
         if not force and self.pending_values < cfg.chunk_values:
             return []
         db = self._cat(self.doc_bytes, np.uint8)
@@ -179,27 +221,36 @@ class _GroupBuffer:
         tl = self._cat(self.tok_lens)
         tv = self._cat(self.tok_vals)
         ex = {
-            c: (self._cat(self.ex_lens[c]), self._cat(self.ex_vals[c]))
-            for c in self.extra_names
+            n: (
+                self._cat(self.ex_lens[n]),
+                self._cat(self.ex_vals[n], _EXTRA_NP_DTYPES[t]),
+            )
+            for n, t in self.extra_specs
         }
         n_docs = len(dl)
         cum_vals = np.zeros(n_docs + 1, dtype=np.int64)
         np.cumsum(tl, out=cum_vals[1:])
         cum_docb = np.zeros(n_docs + 1, dtype=np.int64)
         np.cumsum(dl, out=cum_docb[1:])
+        weight = tl.copy()
         cum_ex = {}
-        for c, (el, _) in ex.items():
+        for n, t in self.extra_specs:
+            el = ex[n][0]
             ce = np.zeros(n_docs + 1, dtype=np.int64)
             np.cumsum(el, out=ce[1:])
-            cum_ex[c] = ce
+            cum_ex[n] = ce
+            if len(el):
+                weight += _extra_weight(t, el)
+        cum_w = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(weight, out=cum_w[1:])
         rows: list[dict] = []
         start = 0
         while start < n_docs:
-            # greedy cut: smallest prefix reaching the value budget
-            target = cum_vals[start] + cfg.chunk_values
-            end = int(np.searchsorted(cum_vals, target, side="left"))
+            # greedy cut: smallest prefix reaching the weight budget
+            target = cum_w[start] + cfg.chunk_values
+            end = int(np.searchsorted(cum_w, target, side="left"))
             end = min(max(end, start + 1), n_docs)
-            if cum_vals[end] - cum_vals[start] < cfg.chunk_values and not force:
+            if cum_w[end] - cum_w[start] < cfg.chunk_values and not force:
                 break  # tail stays pending
             rows.append(
                 self._emit(cfg, db, dl, tl, tv, ex, cum_ex, cum_vals, cum_docb, start, end)
@@ -210,15 +261,15 @@ class _GroupBuffer:
         self.doc_lens = [dl[start:]]
         self.tok_lens = [tl[start:]]
         self.tok_vals = [tv[cum_vals[start] :]]
-        for c in self.extra_names:
-            self.ex_lens[c] = [ex[c][0][start:]]
-            self.ex_vals[c] = [ex[c][1][cum_ex[c][start] :]]
-        self.pending_values = int(cum_vals[-1] - cum_vals[start])
+        for n, _ in self.extra_specs:
+            self.ex_lens[n] = [ex[n][0][start:]]
+            self.ex_vals[n] = [ex[n][1][cum_ex[n][start] :]]
+        self.pending_values = int(cum_w[-1] - cum_w[start])
         if force and start >= n_docs:
             self.doc_bytes, self.doc_lens = [], []
             self.tok_lens, self.tok_vals = [], []
-            self.ex_lens = {c: [] for c in self.extra_names}
-            self.ex_vals = {c: [] for c in self.extra_names}
+            self.ex_lens = {n: [] for n, _ in self.extra_specs}
+            self.ex_vals = {n: [] for n, _ in self.extra_specs}
             self.pending_values = 0
         return rows
 
@@ -228,20 +279,30 @@ class _GroupBuffer:
         lens = tl[start:end]
         vals = tv[cum_vals[start] : cum_vals[end]]
         extras = [
-            (c, ex[c][0][start:end], ex[c][1][cum_ex[c][start] : cum_ex[c][end]])
-            for c in self.extra_names
+            (n, t, ex[n][0][start:end], ex[n][1][cum_ex[n][start] : cum_ex[n][end]])
+            for n, t in self.extra_specs
         ]
         b, info = blob.encode_chunk(
             doc_b, doc_l, lens, vals, codec=cfg.codec,
             doc_fsst_cache=self.doc_fsst,
             extras=extras or None,
+            extras_fsst_cache=self.ex_fsst,
         )
         if self.doc_fsst is None and info["doc_fsst_tables"] is not None:
             # a table stack to reuse, or [] = fsst lost on this group's
             # first eligible chunk -> skip training for the rest of it
             self.doc_fsst = info["doc_fsst_tables"]
+        for n, tabs in info["extras_fsst_tables"].items():
+            if self.ex_fsst.get(n) is None and tabs is not None:
+                self.ex_fsst[n] = tabs
         s = info["stats"]
         first_doc = doc_b[: int(doc_l[0])].decode("utf-8") if len(doc_l) else ""
+        # raw footprint this blob replaces: token values at their declared
+        # width plus every extra column's native width (bytes for strings)
+        tok_w = 8 if cfg.token_dtype == "int64" else 4
+        raw = tok_w * len(vals)
+        for _n, t, _el, ev in extras:
+            raw += np.dtype(_EXTRA_NP_DTYPES[t]).itemsize * len(ev)
         row = {
             "chunk_id": f"{self.source}/{self.part_id:05d}/{self.seq:06d}",
             "source": self.source,
@@ -250,7 +311,7 @@ class _GroupBuffer:
             "codec": info["codec"],
             "n_rows": int(end - start),
             "n_values": int(len(vals)),
-            "raw_bytes": int(4 * len(vals)),
+            "raw_bytes": int(raw),
             "enc_bytes": int(len(b)),
             "min_token": int(s.vmin),
             "max_token": int(s.vmax),
@@ -280,6 +341,7 @@ def make_encode_kernel(cfg: EncodeConfig, verify_grouping: bool = False):
         out_rows: list[dict] = []
         closed: set[tuple] = set()
         last_doc: str | None = None
+        extra_specs = cfg.extra_specs()
 
         def drain():
             nonlocal out_rows
@@ -296,7 +358,7 @@ def make_encode_kernel(cfg: EncodeConfig, verify_grouping: bool = False):
             dl_all, db_all = _string_parts(batch.column("doc_id"))
             tl_all, tv_all = _list_parts(batch.column("tokens"))
             ex_all = [
-                _list_parts(batch.column(c)) for c in cfg.extra_columns
+                _extra_parts(batch, name, etype) for name, etype in extra_specs
             ]
             cum_v = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(tl_all, out=cum_v[1:])
@@ -358,7 +420,7 @@ def make_encode_kernel(cfg: EncodeConfig, verify_grouping: bool = False):
                                 "after closing (input not grouped)"
                             )
                         last_doc = None
-                    current = _GroupBuffer(*key, extra_names=cfg.extra_columns)
+                    current = _GroupBuffer(*key, extra_specs=extra_specs)
                 elif verify_grouping and last_doc is not None:
                     first = batch.column("doc_id")[int(i0)].as_py()
                     if first < last_doc:
@@ -415,7 +477,7 @@ def prepare_grouped(
     return repartition_for_encode(
         with_part_id(df, salts),
         num_parts,
-        content_cols=("tokens",) + tuple(cfg.extra_columns),
+        content_cols=("tokens",) + cfg.extra_names(),
     )
 
 

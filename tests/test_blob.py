@@ -93,11 +93,13 @@ def test_blob_header_count_tamper_detected():
 
 
 def test_blob_header_minmax_tamper_detected():
-    # vmin/vmax live in the header (outside the body crc); tampering them
-    # must be caught by the decoded-min/max cross-check
+    # v3: the certified vmin/vmax are INSIDE the body crc, so header
+    # tampering trips the checksum directly — no reliance on the heuristic
+    # decoded-min/max cross-check (which an adversary who knows the payload
+    # could satisfy)
     raw = bytearray(_mk_chunk()[4])
     raw[36] ^= 0x01  # inside the vmin field (header offsets 34..41)
-    with pytest.raises(EngineError, match="min/max disagree"):
+    with pytest.raises(EngineError, match="crc32 mismatch"):
         blob.decode_chunk(bytes(raw))
 
 
@@ -156,13 +158,14 @@ def test_blob_extras_roundtrip_and_corruption():
     el = np.array([0, 5, 2], dtype=np.int64)
     ev = rng.integers(-(2**40), 2**40, 7).astype(np.int64)
     plain, _ = blob.encode_chunk(db, dl, tl, tv)
-    b, _ = blob.encode_chunk(db, dl, tl, tv, extras=[("aux", el, ev)])
+    b, _ = blob.encode_chunk(db, dl, tl, tv, extras=[("aux", "int64", el, ev)])
     assert b[: len(plain)] == plain  # prefix-compatible
     odb, odl, otl, otv = blob.decode_chunk(b)  # main decode ignores extras
     assert odb == db
     ex = blob.decode_extras(b, 3)
-    np.testing.assert_array_equal(ex["aux"][0], el)
-    np.testing.assert_array_equal(ex["aux"][1], ev)
+    assert ex["aux"][0] == "int64"
+    np.testing.assert_array_equal(ex["aux"][1], el)
+    np.testing.assert_array_equal(ex["aux"][2], ev)
     assert blob.decode_extras(plain, 3) == {}
     # bit-flip inside the extras section must raise (own crc)
     bad = bytearray(b)
@@ -184,7 +187,12 @@ def test_blob_extras_truncation_sweep():
     tv = rng.integers(0, 1000, int(tl.sum())).astype(np.int64)
     el = rng.integers(0, 6, 40).astype(np.int64)
     ev = rng.integers(-(2**40), 2**40, int(el.sum())).astype(np.int64)
-    b, _ = blob.encode_chunk(db, dl, tl, tv, extras=[("aux", el, ev)])
+    fl = rng.integers(0, 5, 40).astype(np.int64)
+    fv = rng.standard_normal(int(fl.sum())).astype(np.float32)
+    b, _ = blob.encode_chunk(
+        db, dl, tl, tv,
+        extras=[("aux", "int64", el, ev), ("emb", "float32", fl, fv)],
+    )
     plain, _ = blob.encode_chunk(db, dl, tl, tv)
     for cut in range(len(plain), len(b)):
         try:
@@ -192,7 +200,8 @@ def test_blob_extras_truncation_sweep():
         except EngineError as e:
             assert str(e).startswith("CBSP"), (cut, e)
     full = blob.decode_extras(b, 40)
-    np.testing.assert_array_equal(full["aux"][1], ev)
+    np.testing.assert_array_equal(full["aux"][2], ev)
+    assert full["emb"][2].tobytes() == fv.tobytes()  # bit-exact floats
 
 
 def test_error_codes_stable():

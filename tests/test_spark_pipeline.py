@@ -8,6 +8,7 @@ processor.rs:1298 (parallel output == single-threaded), RunSummary
 
 import hashlib
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -490,3 +491,101 @@ def test_compaction_restores_canonical_chunks(spark, tok_df):
     b = sorted((r["chunk_id"], r["crc32"], r["enc_bytes"])
                for r in fresh.select("chunk_id", "crc32", "enc_bytes").collect())
     assert a == b
+
+
+def test_typed_extras_roundtrip(spark):
+    # float32 / float64 / string extra columns ride in the chunk and
+    # round-trip exactly through the full Spark pipeline (floats BIT-exact
+    # via raw-bits lanes — reference float type authority:
+    # crates/copybook-core/src/schema.rs:110-117, never via rounding)
+    rows = []
+    for i in range(300):
+        toks = list(range(i % 25 + 1))
+        emb = [float(np.float32((i * 31 + j) * 0.125 - 7.5)) for j in range(8)]
+        scores = [i * 1e-3, -i * 2.5e4]
+        txt = f"document {i} body: " + "abc " * (i % 9)
+        rows.append((f"t_{i:06d}", toks, len(toks), "web", emb, scores, txt))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "emb array<float>, scores array<double>, text string",
+    )
+    cfg = EncodeConfig(
+        extra_columns=("emb:float32", "scores:float64", "text:string"),
+        chunk_values=512, target_values_per_part=2048, shuffle_partitions=4,
+    )
+    chunks = encode_tokens(df, cfg).cache()
+    dec = decode_tokens(chunks, cfg=cfg)
+    dt = dict(dec.dtypes)
+    assert dt["emb"] == "array<float>"
+    assert dt["scores"] == "array<double>"
+    assert dt["text"] == "string"
+    bad = (
+        df.alias("a")
+        .join(dec.alias("b"), "doc_id", "full_outer")
+        .filter(
+            "a.tokens is null or b.tokens is null or a.tokens != b.tokens "
+            "or a.emb != b.emb or a.scores != b.scores or a.text != b.text"
+        )
+        .count()
+    )
+    assert bad == 0
+    # determinism across parallelism (content tiebreaker covers typed extras)
+    cfg2 = EncodeConfig(
+        extra_columns=("emb:float32", "scores:float64", "text:string"),
+        chunk_values=512, target_values_per_part=2048, shuffle_partitions=11,
+    )
+    assert _chunk_content_hash(chunks) == _chunk_content_hash(encode_tokens(df, cfg2))
+    # compaction is lossless for typed extras too
+    from copybook_rs_spark.operators.encode import compact_chunks
+
+    assert _chunk_content_hash(compact_chunks(chunks, cfg)) == _chunk_content_hash(chunks)
+    # projection: string-only decode
+    txt_only = decode_tokens(chunks, columns=["doc_id", "text"], cfg=cfg)
+    assert txt_only.columns == ["doc_id", "text"]
+    assert txt_only.count() == 300
+
+
+def test_typed_extras_float_specials_bit_exact(spark):
+    # NaN / ±inf / -0.0 / denormals survive the pipeline bit-for-bit:
+    # compare the raw IEEE bit patterns, not float equality
+    import struct as _struct
+
+    specials = [float("nan"), float("inf"), float("-inf"), -0.0, 1e-42, 3.14]
+    rows = [
+        (f"s_{i:03d}", [1, 2], 2, "web", [specials[(i + j) % 6] for j in range(4)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string, emb array<float>"
+    )
+    cfg = EncodeConfig(extra_columns=("emb:float32",), chunk_values=64,
+                       target_values_per_part=256, shuffle_partitions=2)
+    dec = decode_tokens(encode_tokens(df, cfg), cfg=cfg)
+    want = {
+        r["doc_id"]: [_struct.pack("<f", v) for v in r["emb"]]
+        for r in df.collect()
+    }
+    got = {
+        r["doc_id"]: [_struct.pack("<f", v) for v in r["emb"]]
+        for r in dec.collect()
+    }
+    assert got == want
+
+
+def test_extra_columns_validation():
+    with pytest.raises(ValueError, match="reserved"):
+        EncodeConfig(extra_columns=("source",))
+    with pytest.raises(ValueError, match="reserved"):
+        EncodeConfig(extra_columns=("tokens:int64",))
+    with pytest.raises(ValueError, match="duplicate"):
+        EncodeConfig(extra_columns=("aux", "aux:float32"))
+    with pytest.raises(ValueError, match="unknown type"):
+        EncodeConfig(extra_columns=("aux:int8",))
+    with pytest.raises(ValueError, match="empty"):
+        EncodeConfig(extra_columns=(":int64",))
+    # schema fingerprint distinguishes extra types
+    assert (
+        EncodeConfig(extra_columns=("aux",)).fingerprint
+        != EncodeConfig(extra_columns=("aux:float32",)).fingerprint
+    )
