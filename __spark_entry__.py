@@ -570,6 +570,24 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY l_returnflag
         """,
+        # fixture-parquet oracles: simhash / multimodal byte-features are
+        # deterministic pure functions of the documents table but not
+        # SQL-expressible; the fixture pins them against an INDEPENDENT
+        # per-doc Python reimplementation (scripts/make_oracle_fixtures.py),
+        # keyed by sf_key = sum(n_chars) so one file serves every SF
+        "simhash_dedup": """
+            SELECT ((simhash % 16) + 16) % 16 AS bucket,
+                   count(*) AS n_docs,
+                   count(DISTINCT simhash) AS n_distinct_fp
+            FROM '/root/repo/tests/fixtures/simhash_oracle.parquet'
+            WHERE sf_key = (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents)
+            GROUP BY 1
+        """,
+        "multimodal_features": """
+            SELECT media_id, kind, n_bytes, f0, f15
+            FROM '/root/repo/tests/fixtures/multimodal_oracle.parquet'
+            WHERE sf_key = (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents)
+        """,
         "embeddings_roundtrip": """
             SELECT CAST(vec_id % 4 AS VARCHAR) AS source,
                    count(*) AS n_docs,
