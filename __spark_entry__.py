@@ -415,6 +415,40 @@ def _q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # near-dup clustering end to end: LSH candidates -> exact-Jaccard
+    # verify -> connected components (min-label propagation,
+    # operators/dedup.py:connected_components) -> deterministic
+    # representative per cluster. Oracle = recursive-CTE transitive closure
+    # over the identical verified pair set.
+    from copybook_rs_spark.operators.dedup import connected_components
+
+    _register_views(spark, sf_dir)
+    pairs = spark.sql(text_sql.verified_pairs_sql("spark"))
+    comp = connected_components(pairs)
+    docs = spark.table("documents")
+    losers = comp.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    kept = docs.join(losers, "doc_id", "left_anti")
+    return (
+        docs.agg(F.count("*").alias("n_docs"))
+        .crossJoin(pairs.agg(F.count("*").alias("n_pairs")))
+        .crossJoin(
+            comp.agg(
+                F.count("*").alias("n_clustered"),
+                F.countDistinct("cluster_id").alias("n_clusters"),
+            )
+        )
+        .crossJoin(
+            kept.agg(
+                F.count("*").alias("n_kept"),
+                F.coalesce(F.sum("doc_id"), F.lit(0))
+                .cast("long")
+                .alias("kept_checksum"),
+            )
+        )
+    )
+
+
 def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: 64-bit SimHash fingerprints (numpy kernel)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -467,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "conditions_events": _q_conditions_events,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "dedup_near": _q_dedup_near,
         "simhash_dedup": _q_simhash_dedup,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "multimodal_features": _q_multimodal_features,
@@ -570,6 +605,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY l_returnflag
         """,
+        "dedup_near": text_sql.dedup_near_oracle_sql(),
         # fixture-parquet oracles: simhash / multimodal byte-features are
         # deterministic pure functions of the documents table but not
         # SQL-expressible; the fixture pins them against an INDEPENDENT

@@ -135,17 +135,16 @@ def minhash_bands_sql(dialect: str) -> str:
     """
 
 
-def near_dup_pairs_sql(dialect: str) -> str:
-    """Candidate pairs from band 0, verified with exact shingle-set Jaccard
-    (MinHash-LSH candidate -> exact verify, per-source counts)."""
+def _pairs_cte(dialect: str) -> str:
+    """Shared WITH-block producing pairs(id_a, id_b, jacc): band-0 LSH
+    candidates verified with exact shingle-set Jaccard. Used by
+    near_dup_pairs_sql (pair stats) and dedup_near (clustering)."""
     words = _WORDS_SPARK if dialect == "spark" else _WORDS_DUCK
     sh = _SHINGLES_SPARK if dialect == "spark" else _SHINGLES_DUCK
     if dialect == "spark":
         dedup, inter, ln = "array_distinct", "array_intersect", "size"
-        uni = "array_union"
     else:
         dedup, inter, ln = "list_distinct", "list_intersect", "len"
-        uni = None  # DuckDB: union = distinct(concat)
     sigs = _minhash_sigs(4, dialect)
     union_expr = (
         f"{ln}(array_union(a.shd, b.shd))"
@@ -153,7 +152,7 @@ def near_dup_pairs_sql(dialect: str) -> str:
         else "len(list_distinct(list_concat(a.shd, b.shd)))"
     )
     return f"""
-    WITH base AS (
+    base AS (
       SELECT doc_id, {dedup}(sh) AS shd, sh
       FROM (
         SELECT doc_id, {sh} AS sh
@@ -167,11 +166,58 @@ def near_dup_pairs_sql(dialect: str) -> str:
              CAST({ln}({inter}(a.shd, b.shd)) AS DOUBLE) / {union_expr} AS jacc
       FROM keyed a JOIN keyed b
         ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-    )
+    )"""
+
+
+def near_dup_pairs_sql(dialect: str) -> str:
+    """Candidate pairs from band 0, verified with exact shingle-set Jaccard
+    (MinHash-LSH candidate -> exact verify, per-source counts)."""
+    return f"""
+    WITH {_pairs_cte(dialect)}
     SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs,
            CAST(sum(CASE WHEN jacc >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups,
            round(coalesce(avg(jacc), 0), 4) AS avg_jaccard
     FROM pairs
+    """
+
+
+def verified_pairs_sql(dialect: str, threshold: float = 0.8) -> str:
+    """pairs (id_a, id_b) with exact shingle Jaccard >= threshold — the
+    edge set the near-dup clustering consumes."""
+    return f"""
+    WITH {_pairs_cte(dialect)}
+    SELECT id_a, id_b FROM pairs WHERE jacc >= {threshold}
+    """
+
+
+def dedup_near_oracle_sql(threshold: float = 0.8) -> str:
+    """DuckDB-only oracle for the clustering operator: transitive closure
+    over the verified pair set via a recursive CTE, component label =
+    min reachable doc_id, representative kept per cluster. Single summary
+    row mirroring the Spark-side aggregate in __spark_entry__."""
+    return f"""
+    WITH RECURSIVE {_pairs_cte("duckdb")},
+    vp AS (SELECT id_a, id_b FROM pairs WHERE jacc >= {threshold}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM vp
+      UNION
+      SELECT id_b, id_a FROM vp
+    ),
+    reach(node, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comps AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node),
+    losers AS (SELECT doc_id FROM comps WHERE doc_id != cluster_id)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+           (SELECT CAST(count(*) AS BIGINT) FROM vp) AS n_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM comps) AS n_clustered,
+           (SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) FROM comps) AS n_clusters,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+             WHERE doc_id NOT IN (SELECT doc_id FROM losers)) AS n_kept,
+           (SELECT CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM documents
+             WHERE doc_id NOT IN (SELECT doc_id FROM losers)) AS kept_checksum
     """
 
 

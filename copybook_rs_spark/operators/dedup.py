@@ -222,3 +222,122 @@ def simhash(df: DataFrame) -> DataFrame:
     """(doc_id, simhash int64). Near-dups = small Hamming distance; pairs
     within distance d are found by joining on rotated prefix bands."""
     return df.select("doc_id", "text").mapInArrow(_simhash_kernel, _SIMHASH_SCHEMA)
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """(doc_id, cluster_id) for every node appearing in `pairs` (columns
+    id_a, id_b); cluster_id = min doc_id of the connected component — the
+    deterministic representative, the near-dup analogue of exact_dedup's
+    min_by winner (reference determinism stance:
+    crates/copybook-codec/src/determinism.rs:29-87).
+
+    Min-label propagation with label shortcutting: each round every node
+    takes the min over its neighbours' labels AND its label's current label
+    (pointer doubling), so convergence is O(log diameter) rounds, not
+    O(diameter). One shuffle per round (edge join + groupBy); each round
+    localCheckpoints to cut lineage. At 100 TB the edge set is the
+    LSH-capped verified-pair list (orders of magnitude smaller than the
+    corpus), so every round shuffles candidate pairs, never documents.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # shortcut edges: node -> its current label (pointer doubling)
+        aug = edges.unionAll(
+            labels.filter(F.col("node") != F.col("label")).select(
+                F.col("node").alias("src"), F.col("label").alias("dst")
+            )
+        )
+        sym = aug.unionAll(aug.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        prop = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy(F.col("dst").alias("pnode"))
+            .agg(F.min("label").alias("plabel"))
+        )
+        nxt = (
+            labels.join(prop, labels.node == prop.pnode, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
+                ).alias("label"),
+                (F.coalesce(F.col("plabel"), F.col("label")) < F.col("label")).alias(
+                    "_chg"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = nxt.filter(F.col("_chg")).limit(1).count()
+        labels = nxt.select("node", "label")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def _verify_jaccard(
+    df: DataFrame, pairs: DataFrame, threshold: float, text_col: str
+) -> DataFrame:
+    """Filter candidate pairs by exact word-3-gram shingle Jaccard —
+    shingles computed only for docs that appear in some pair (semi-join),
+    so verification cost scales with the candidate set, not the corpus."""
+    sh = F.expr(
+        "array_distinct(transform(sequence(1, greatest(size(w) - 2, 1)), "
+        "i -> concat_ws('_', element_at(w, i), "
+        "element_at(w, least(i + 1, size(w))), "
+        "element_at(w, least(i + 2, size(w))))))"
+    )
+    nodes = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    shd = (
+        df.join(nodes, "doc_id", "left_semi")
+        .select("doc_id", F.split(F.col(text_col), " ").alias("w"))
+        .select("doc_id", sh.alias("shd"))
+    )
+    a = shd.select(F.col("doc_id").alias("id_a"), F.col("shd").alias("_sha"))
+    b = shd.select(F.col("doc_id").alias("id_b"), F.col("shd").alias("_shb"))
+    jacc = F.expr(
+        "cast(size(array_intersect(_sha, _shb)) as double) / "
+        "size(array_union(_sha, _shb))"
+    )
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .filter(jacc >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def dedup_near(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float | None = 0.8,
+    max_bucket_size: int = 1024,
+    **kw,
+) -> DataFrame:
+    """Near-duplicate removal end to end: LSH candidates -> exact-Jaccard
+    verify (>= threshold; None skips) -> connected components -> keep only
+    the deterministic representative (min doc_id) per cluster. Docs in no
+    cluster pass through untouched; output = df minus the cluster losers
+    (one anti-join on doc_id)."""
+    pairs = near_dup_candidates(df, max_bucket_size=max_bucket_size, **kw)
+    if threshold is not None:
+        pairs = _verify_jaccard(df, pairs, threshold, text_col)
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return df.join(losers, "doc_id", "left_anti")

@@ -362,3 +362,49 @@ def test_decoded_features_end_to_end(spark):
     # deterministic across runs
     again = {r["media_id"]: r["features"] for r in extract_decoded_features(df).collect()}
     assert by_id == again
+
+
+def test_connected_components_chain_and_determinism(spark):
+    from copybook_rs_spark.operators.dedup import connected_components
+
+    # a 40-node path graph: min-label must reach the far end (pointer
+    # doubling -> O(log n) rounds, well under max_iter)
+    chain = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(39)]
+    # plus a triangle and an isolated pair
+    extra = [("t001", "t002"), ("t002", "t003"), ("t001", "t003"), ("z001", "z002")]
+    pairs = spark.createDataFrame(chain + extra, "id_a string, id_b string")
+    comp = connected_components(pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in comp.collect()}
+    assert all(got[f"n{i:03d}"] == "n000" for i in range(40))
+    assert got["t001"] == got["t002"] == got["t003"] == "t001"
+    assert got["z001"] == got["z002"] == "z001"
+    # deterministic under different shuffle widths
+    comp2 = connected_components(pairs.repartition(7))
+    assert got == {r["doc_id"]: r["cluster_id"] for r in comp2.collect()}
+
+
+def test_dedup_near_removes_seeded_cluster(spark):
+    from copybook_rs_spark.operators.dedup import dedup_near
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the river runs south past the old mill near town"
+    )
+    rows = []
+    # 5 near-identical variants (one-word edits) -> one cluster, keep d000
+    for i in range(5):
+        words = base.split(" ")
+        if i:
+            words[10 + i] = f"tweak{i}"
+        rows.append((f"d{i:03d}", " ".join(words)))
+    # unrelated docs pass through
+    for i in range(20):
+        rows.append((f"u{i:03d}", f"completely different content number {i} " * 5))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = dedup_near(df, threshold=0.5)
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert "d000" in kept
+    assert not any(f"d{i:03d}" in kept for i in range(1, 5))
+    assert all(f"u{i:03d}" in kept for i in range(20))
+    # idempotent: dedup of the deduped set removes nothing
+    assert dedup_near(out, threshold=0.5).count() == out.count()
