@@ -267,6 +267,7 @@ def _front_decode(
 
 _TEMPLATE_MAX_FIELDS = 12
 _TEMPLATE_MAX_DIGITS = 18  # int64-safe
+_POW10 = 10 ** np.arange(_TEMPLATE_MAX_DIGITS + 1, dtype=np.int64)
 
 
 def _encode_template(doc_bytes: bytes, doc_lens: np.ndarray) -> bytes | None:
@@ -381,7 +382,9 @@ def _decode_template(buf: memoryview, doc_lens: np.ndarray) -> bytes:
     vv = np.stack(vals_l, axis=1) if k else np.zeros((n, 0), dtype=np.int64)
     if (vv < 0).any():
         raise PayloadCorruptError("template negative field value")
-    if (vv >= 10 ** wl.astype(np.int64)).any():
+    # width check via a 20-entry pow10 lookup — 10**wl on the full n×k
+    # matrix costs an int-power per cell
+    if (vv >= _POW10[wl]).any():
         raise PayloadCorruptError("template value wider than its digit length")
     total = lit_len + wl.sum(axis=1)
     if not (total == np.ascontiguousarray(doc_lens, dtype=np.int64)).all():
@@ -410,8 +413,13 @@ def _decode_template(buf: memoryview, doc_lens: np.ndarray) -> bytes:
         if j < k:
             m = int(max_ls[j])
             cols = np.arange(m, dtype=np.int64)
-            pows = 10 ** (m - 1 - cols)
-            pad[:, col : col + m] = (vv[:, j, None] // pows[None, :]) % 10 + 48
+            # peel digits right-to-left with one divmod-by-10 per column —
+            # m divides per value instead of the 2m of the (v // 10^p) % 10
+            # matrix, and the running quotient shrinks every step
+            v = vv[:, j].copy()
+            for c in range(m - 1, -1, -1):
+                np.add(v % 10, 48, out=pad[:, col + c], casting="unsafe")
+                v //= 10
             # right-aligned: column c holds a real digit iff c >= m - len
             valid[:, col : col + m] = cols[None, :] >= (m - wl[:, j])[:, None]
             col += m

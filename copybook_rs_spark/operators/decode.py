@@ -258,6 +258,12 @@ def make_decode_kernel(
         rows = 0
         nbytes = 0
         for rb in raw(batches):
+            if not buf and (
+                rb.num_rows >= _COALESCE_ROWS or rb.nbytes >= _COALESCE_BYTES
+            ):
+                # already past the bounds on its own — skip the re-copy
+                yield rb
+                continue
             buf.append(rb)
             rows += rb.num_rows
             nbytes += rb.nbytes
@@ -301,9 +307,50 @@ def _plan_decode(
     want = min_parallelism or (
         2 * chunk_df.sparkSession.sparkContext.defaultParallelism
     )
-    if src.rdd.getNumPartitions() < want:
-        src = src.repartition(want)
+    nparts = src.rdd.getNumPartitions()
+    if nparts < want:
+        # size-aware rebalance: the shuffle only pays when it unlocks real
+        # decode work (~512 KiB compressed ≈ 2M tokens ≈ 0.1 s per task).
+        # For file-backed tables the total is the summed file sizes —
+        # driver-side, no job; blobs don't re-compress, so parquet size ~
+        # blob bytes. A tiny table (e.g. sf0.1 is ~5 MB) keeps its scan
+        # partitioning: the shuffle barrier costs more than the
+        # parallelism it buys. Unknown size (in-memory lineage) keeps the
+        # old behavior — rebalance to `want`.
+        target = want
+        total = _input_bytes(chunk_df)
+        if total is not None:
+            target = min(want, max(nparts, -(-total // _TARGET_BYTES_PER_TASK)))
+        if target > nparts:
+            src = src.repartition(target)
     return src, cols, out_pa, out_spark, tok64
+
+
+_TARGET_BYTES_PER_TASK = 512 << 10
+
+
+def _input_bytes(df: DataFrame) -> int | None:
+    """Total size of the parquet files behind df (driver-side stat of the
+    already-listed scan files; no Spark job). None when the plan is not
+    file-backed. Filtered tables overcount — an upper bound, which only
+    errs toward more parallelism."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    import os
+    from urllib.parse import urlparse
+
+    total = 0
+    for uri in files:
+        path = urlparse(uri).path or uri
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return None
+    return total
 
 
 def decode_tokens(
