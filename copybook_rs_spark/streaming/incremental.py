@@ -42,11 +42,76 @@ from copybook_rs_spark.sources.manifest import (
 )
 
 
+_RAW_PREFIX = "batch=b"
+_CONS_PREFIX = "batch=c~b"  # consolidated part covering every batch <= id
+
+
+def _live_part_dirs(root: str) -> list[str]:
+    """Manifest-part directories a reader should load: the newest
+    consolidated part (if any) plus every raw batch dir NEWER than its
+    cover. Anything the live cover supersedes — older consolidated parts,
+    raw dirs already folded — is ignored even if still on disk, so a crash
+    between the consolidated write and the old-dir cleanup can never be
+    read as duplicates (the same supersede-at-read stance as the
+    idempotent batch=... overwrite commits)."""
+    if not os.path.isdir(root):
+        return []
+    names = sorted(os.listdir(root))
+    covers = [n[len(_CONS_PREFIX) :] for n in names if n.startswith(_CONS_PREFIX)]
+    live_cover = max(covers, default=None)  # zero-padded ids sort lexically
+    out = []
+    for n in names:
+        if n.startswith(_CONS_PREFIX):
+            if n[len(_CONS_PREFIX) :] == live_cover:
+                out.append(n)
+        elif n.startswith(_RAW_PREFIX):
+            if live_cover is None or n[len(_RAW_PREFIX) :] > live_cover:
+                out.append(n)
+    return [os.path.join(root, n) for n in out]
+
+
+def read_manifest_parts(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All LIVE manifest-part rows (see _live_part_dirs)."""
+    dirs = _live_part_dirs(os.path.join(out_dir, "manifest_parts"))
+    return spark.read.parquet(*dirs)
+
+
+def compact_manifest_parts(
+    spark: SparkSession, out_dir: str, keep_last: int = 8
+) -> int:
+    """Fold every live part except the newest `keep_last` raw batches into
+    one consolidated directory, bounding the per-trigger manifest merge at
+    O(keep_last + 1) directories instead of O(#batches) over the stream's
+    lifetime (the manifest-side analogue of compact_chunks). A plain
+    row-union — merge_manifest_parts stays the single aggregation point, so
+    the merged manifest is invariant under compaction. Returns the number
+    of raw batch dirs folded (0 = nothing to do)."""
+    root = os.path.join(out_dir, "manifest_parts")
+    live = _live_part_dirs(root)
+    raw = [d for d in live if os.path.basename(d).startswith(_RAW_PREFIX)]
+    fold_raw = raw[: -keep_last if keep_last else None] if keep_last else raw
+    if not fold_raw:
+        return 0
+    cons = [d for d in live if os.path.basename(d).startswith(_CONS_PREFIX)]
+    cover = os.path.basename(fold_raw[-1])[len(_RAW_PREFIX) :]
+    target = os.path.join(root, f"{_CONS_PREFIX}{cover}")
+    # the folded row count is O(batches x groups) — tiny; one output file
+    spark.read.parquet(*(cons + fold_raw)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(target)
+    import shutil
+
+    for d in cons + fold_raw:  # best-effort: leftovers are superseded
+        if os.path.abspath(d) != os.path.abspath(target):
+            shutil.rmtree(d, ignore_errors=True)
+    return len(fold_raw)
+
+
 def commit_batch(
     chunk_df: DataFrame, out_dir: str, batch_id: int
 ) -> None:
     """Idempotently commit one micro-batch's chunk table + manifest part,
-    then refresh the table manifest from the (small) manifest parts."""
+    then refresh the table manifest from the (small) live manifest parts."""
     spark = chunk_df.sparkSession
     tag = f"batch=b{batch_id:08d}"
     batch_dir = os.path.join(out_dir, "chunks", tag)
@@ -57,10 +122,9 @@ def commit_batch(
     assert_unique_chunk_ids(written)
     part_dir = os.path.join(out_dir, "manifest_parts", tag)
     build_manifest(written).write.mode("overwrite").parquet(part_dir)
-    parts = spark.read.parquet(os.path.join(out_dir, "manifest_parts"))
-    merge_manifest_parts(parts).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "manifest")
-    )
+    merge_manifest_parts(read_manifest_parts(spark, out_dir)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "manifest"))
 
 
 def incremental_encode(
@@ -70,6 +134,7 @@ def incremental_encode(
     cfg: EncodeConfig | None = None,
     salts: dict[str, int] | None = None,
     trigger_once: bool = True,
+    compact_parts_every: int | None = 64,
 ) -> StreamingQuery:
     """Start a streaming encode: parquet dir -> chunk table + manifest.
 
@@ -100,6 +165,10 @@ def incremental_encode(
             F.concat(F.lit(f"b{batch_id:08d}/"), F.col("chunk_id")),
         )
         commit_batch(chunk_df, out_dir, batch_id)
+        if compact_parts_every and batch_id % compact_parts_every == (
+            compact_parts_every - 1
+        ):
+            compact_manifest_parts(batch_df.sparkSession, out_dir)
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint

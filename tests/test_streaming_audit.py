@@ -252,3 +252,49 @@ def test_audit_detects_corruption_without_failing(spark):
     assert total_err == len(errs)
     codes = [c for r in summary for c in r["sample_error_codes"] if c]
     assert any(c.startswith("CBSP") for c in codes)
+
+
+def test_manifest_part_compaction_bounds_and_preserves(spark, tmp_path):
+    # 10 commits with periodic part compaction: the live part-dir count must
+    # stay bounded at keep_last + 1, the merged manifest must equal the
+    # full-rebuild manifest, and superseded leftovers must be invisible
+    import os
+
+    from copybook_rs_spark.streaming.incremental import (
+        _live_part_dirs,
+        commit_batch,
+        compact_manifest_parts,
+        read_manifest_parts,
+    )
+
+    out_dir = str(tmp_path / "enc")
+    df = synthetic_tokens(spark, "mixed", 400).cache()
+    salts = plan_salts(df, CFG.target_values_per_part, CFG.max_salt)
+    for b in range(10):
+        part = df.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == b)
+        chunk_df = encode_tokens(part, CFG, salts=salts).withColumn(
+            "chunk_id", F.concat(F.lit(f"b{b:08d}/"), F.col("chunk_id"))
+        )
+        commit_batch(chunk_df, out_dir, b)
+        if b % 3 == 2:
+            compact_manifest_parts(spark, out_dir, keep_last=3)
+            live = _live_part_dirs(os.path.join(out_dir, "manifest_parts"))
+            assert len(live) <= 3 + 1, live
+    # compaction is idempotent (re-run folds nothing new beyond keep_last)
+    compact_manifest_parts(spark, out_dir, keep_last=3)
+    n2 = compact_manifest_parts(spark, out_dir, keep_last=3)
+    assert n2 == 0
+    # merged manifest == full rebuild from the chunk table
+    chunks = mani.read_chunks(spark, out_dir)
+    full = mani.build_manifest(chunks)
+    merged = mani.read_manifest(spark, out_dir).select(*full.columns)
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+    # a stale superseded dir left by a crashed cleanup is ignored at read
+    root = os.path.join(out_dir, "manifest_parts")
+    stale = os.path.join(root, "batch=b00000000")
+    mani.build_manifest(chunks.limit(5)).write.mode("overwrite").parquet(stale)
+    live = _live_part_dirs(root)
+    assert stale not in live
+    again = mani.merge_manifest_parts(read_manifest_parts(spark, out_dir))
+    assert again.exceptAll(full).count() == 0 and full.exceptAll(again).count() == 0
