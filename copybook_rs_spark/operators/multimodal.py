@@ -1,10 +1,12 @@
 """Multimodal columns: images/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real — schema, partition-parallel mapInArrow over
-Arrow binary buffers, batch shapes, deterministic feature vectors — while
-the actual media decode is STUBBED (`decode_media` raises
-NotImplementedError: pillow/ffmpeg are not in this container). Swapping the
-stub for a real decoder changes one function, not the pipeline.
+Arrow binary buffers, batch shapes, deterministic feature vectors — and so
+is the decode for the formats a dependency-free engine can own: 24-bit BMP,
+8-bit PNG (stdlib zlib inflate, all five scanline filters), 16-bit PCM WAV.
+jpeg/mp3/mp4 remain declared hooks (`decode_media` raises
+NotImplementedError: pillow/ffmpeg are not in this container); wiring a
+real codec changes one function, not the pipeline.
 
 Media rows: (media_id long, media binary, meta struct<kind string,
 width int, height int>). `fake_features` derives a deterministic
@@ -98,12 +100,102 @@ def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return wave, rate
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _unfilter_row(f: int, cur: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """One PNG scanline unfilter (spec §9). cur is the filtered row uint8,
+    prev the reconstructed previous row. Filters None/Up are one vector op;
+    Sub/Average/Paeth carry a left-neighbour dependency, resolved with a
+    per-byte loop — fine for fixture-sized images, and rows written by
+    make_png use filter 0 (the vector path)."""
+    out = cur.astype(np.int32)
+    if f == 0:
+        return cur.copy()
+    if f == 2:  # Up
+        return ((out + prev) & 0xFF).astype(np.uint8)
+    p = prev.astype(np.int32)
+    for i in range(len(out)):
+        a = out[i - bpp] if i >= bpp else 0
+        b = p[i]
+        c = p[i - bpp] if i >= bpp else 0
+        if f == 1:  # Sub
+            out[i] = (out[i] + a) & 0xFF
+        elif f == 3:  # Average
+            out[i] = (out[i] + ((a + b) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            pa_ = abs(b - c)
+            pb = abs(a - c)
+            pc = abs(a + b - 2 * c)
+            pred = a if pa_ <= pb and pa_ <= pc else (b if pb <= pc else c)
+            out[i] = (out[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+    return out.astype(np.uint8)
+
+
+def _decode_png(data) -> np.ndarray:
+    """Dependency-free PNG baseline decoder (stdlib zlib inflate): 8-bit
+    greyscale / RGB / grey+alpha / RGBA, non-interlaced -> uint8 HxWx3 RGB
+    (grey replicated, alpha dropped). All five scanline filters supported."""
+    import struct as _struct
+    import zlib as _zlib
+
+    if len(data) < 8 or bytes(data[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG file")
+    off = 8
+    idat: list[bytes] = []
+    w = h = color = None
+    while off + 8 <= len(data):
+        (clen,) = _struct.unpack_from(">I", data, off)
+        ctype = bytes(data[off + 4 : off + 8])
+        if off + 12 + clen > len(data):
+            raise ValueError("PNG chunk truncated")
+        body = data[off + 8 : off + 8 + clen]
+        if ctype == b"IHDR":
+            w, h, bitd, color, comp, filt, interlace = _struct.unpack(
+                ">IIBBBBB", bytes(body)
+            )
+            if bitd != 8 or color not in (0, 2, 4, 6) or comp or filt or interlace:
+                raise NotImplementedError(
+                    f"only 8-bit non-interlaced grey/RGB(A) PNG supported "
+                    f"(bit_depth={bitd}, color={color}, interlace={interlace})"
+                )
+        elif ctype == b"IDAT":
+            idat.append(bytes(body))
+        elif ctype == b"IEND":
+            break
+        off += 12 + clen  # length + type + crc
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    stride = w * ch
+    raw = np.frombuffer(_zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG scanline data size mismatch")
+    rows = raw.reshape(h, stride + 1)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        prev = _unfilter_row(int(rows[y, 0]), rows[y, 1:], prev, ch)
+        out[y] = prev
+    img = out.reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(img, 3, axis=2)
+    if ch == 2:
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(img[:, :, :3])
+
+
 def decode_media(data: bytes, kind: str):
     """Dependency-free media decode for the formats a pure-numpy engine can
-    own: image -> 24-bit BMP to uint8 HxWx3 RGB, audio -> 16-bit PCM WAV to
-    (int16 [n, channels], rate). Other containers (jpeg/png/mp3/mp4) remain
-    a declared hook — wire PIL/soundfile/av here when available."""
+    own: image -> 24-bit BMP or 8-bit PNG to uint8 HxWx3 RGB (sniffed by
+    magic bytes), audio -> 16-bit PCM WAV to (int16 [n, channels], rate).
+    Other containers (jpeg/mp3/mp4) remain a declared hook — wire
+    PIL/soundfile/av here when available."""
     if kind == "image":
+        if len(data) >= 8 and bytes(data[:8]) == _PNG_SIG:
+            return _decode_png(data)
         return _decode_bmp(data)
     if kind == "audio":
         return _decode_wav(data)
@@ -205,14 +297,25 @@ def _decoded_feature_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Re
         ids = batch.column("media_id").to_numpy(zero_copy_only=False)
         kinds = batch.column("kind").to_pylist()
         media = batch.column("media")
+        # zero-copy memoryview slices of the binary column's contiguous
+        # data buffer (same move as _feature_kernel) — no per-item as_py()
+        # blob copies, so tiny media never pay a Python materialization
+        offs = np.frombuffer(media.buffers()[1], dtype=np.int32)[
+            media.offset : media.offset + len(media) + 1
+        ]
+        raw = (
+            memoryview(media.buffers()[2])
+            if media.buffers()[2] is not None
+            else memoryview(b"")
+        )
         n = len(ids)
-        lens = np.empty(n, dtype=np.int64)
+        lens = (offs[1:] - offs[:-1]).astype(np.int64)
         feats = np.zeros((n, FEATURE_DIM), dtype=np.float32)
         for i in range(n):  # per-MEDIA loop: one row = one whole image/clip,
             # the same work granularity as one chunk in the codec kernels
-            data = media[i].as_py()
-            lens[i] = len(data)
-            feats[i] = decoded_features(data, kinds[i])
+            feats[i] = decoded_features(
+                raw[int(offs[i]) : int(offs[i + 1])], kinds[i]
+            )
         f_offs = np.arange(0, (n + 1) * FEATURE_DIM, FEATURE_DIM, dtype=np.int32)
         flist = pa.ListArray.from_arrays(
             pa.array(f_offs), pa.array(feats.reshape(-1), pa.float32())
@@ -257,3 +360,32 @@ def make_wav(wave: np.ndarray, rate: int = 16000) -> bytes:
     chunks = b"fmt " + _struct.pack("<I", len(fmt)) + fmt
     chunks += b"data" + _struct.pack("<I", len(payload)) + payload
     return b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def make_png(pixels: np.ndarray) -> bytes:
+    """Serialize uint8 HxWx3 RGB -> 8-bit truecolor PNG bytes (filter 0
+    scanlines, one IDAT; test/fixture helper, decodable by _decode_png and
+    any standard viewer)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    h, w, _ = pixels.shape
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(body))
+            + ctype
+            + body
+            + _struct.pack(">I", _zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    scan = np.zeros((h, w * 3 + 1), dtype=np.uint8)
+    scan[:, 1:] = pixels.reshape(h, w * 3)
+    idat = _zlib.compress(scan.tobytes(), 6)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )

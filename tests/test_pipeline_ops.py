@@ -408,3 +408,89 @@ def test_dedup_near_removes_seeded_cluster(spark):
     assert all(f"u{i:03d}" in kept for i in range(20))
     # idempotent: dedup of the deduped set removes nothing
     assert dedup_near(out, threshold=0.5).count() == out.count()
+
+
+def test_png_roundtrip_and_filters():
+    from copybook_rs_spark.operators.multimodal import _decode_png, make_png
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (13, 19, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_media(make_png(img), "image"), img)
+    # all five scanline filters: hand-filter known pixels per the spec and
+    # check the decoder reconstructs them
+    import struct as _struct
+    import zlib as _zlib
+
+    h, w, ch = 6, 5, 3
+    pix = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    flat = pix.reshape(h, w * ch).astype(np.int32)
+    scan = []
+    for y, f in enumerate([0, 1, 2, 3, 4, 1]):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * ch, np.int32)
+        filt = np.empty(w * ch, np.int32)
+        for i in range(w * ch):
+            a = cur[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                pa_, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if pa_ <= pb and pa_ <= pc else (b if pb <= pc else c)
+            filt[i] = (cur[i] - pred) & 0xFF
+        scan.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+
+    def chunk(ctype, body):
+        return (_struct.pack(">I", len(body)) + ctype + body
+                + _struct.pack(">I", _zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", _zlib.compress(b"".join(scan)))
+           + chunk(b"IEND", b""))
+    np.testing.assert_array_equal(_decode_png(png), pix)
+    # grey and RGBA variants normalize to HxWx3
+    grey = rng.integers(0, 256, (4, 7), dtype=np.uint8)
+    scan_g = b"".join(b"\x00" + grey[y].tobytes() for y in range(4))
+    png_g = (b"\x89PNG\r\n\x1a\n"
+             + chunk(b"IHDR", _struct.pack(">IIBBBBB", 7, 4, 8, 0, 0, 0, 0))
+             + chunk(b"IDAT", _zlib.compress(scan_g))
+             + chunk(b"IEND", b""))
+    g3 = _decode_png(png_g)
+    assert g3.shape == (4, 7, 3)
+    np.testing.assert_array_equal(g3[:, :, 0], grey)
+    np.testing.assert_array_equal(g3[:, :, 2], grey)
+    # corruption: truncated chunk raises, never wrong data
+    with pytest.raises(ValueError):
+        _decode_png(png[:30])
+
+
+def test_decoded_features_png_end_to_end(spark):
+    from copybook_rs_spark.operators.multimodal import (
+        extract_decoded_features,
+        make_bmp,
+        make_png,
+    )
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for i in range(10):
+        img = rng.integers(0, 256, (6 + i, 9, 3), dtype=np.uint8)
+        # same pixels through both containers -> identical decoded features
+        rows.append((i * 2, bytearray(make_png(img)), "image"))
+        rows.append((i * 2 + 1, bytearray(make_bmp(img)), "image"))
+    df = spark.createDataFrame(rows, "media_id long, media binary, kind string")
+    by_id = {
+        r["media_id"]: r["features"]
+        for r in extract_decoded_features(df).collect()
+    }
+    for i in range(10):
+        assert by_id[i * 2] == by_id[i * 2 + 1]
+        assert by_id[i * 2][12] == 6.0 + i
