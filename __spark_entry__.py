@@ -410,7 +410,10 @@ def _q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.length("text")).alias("n_chars_total"),
         F.sum(
-            F.expr("cast(conv(substr(md5(text), 1, 12), 16, 10) as bigint)")
+            # 8 hex chars = 32 bits/doc: the per-source sum stays exact in
+            # int64 up to ~4e9 docs (Spark wraps silently on overflow while
+            # DuckDB sums in HUGEINT — a wider prefix would diverge at scale)
+            F.expr("cast(conv(substr(md5(text), 1, 8), 16, 10) as bigint)")
         ).alias("text_checksum"),
     )
 
@@ -639,7 +642,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT source,
                    count(*) AS n_docs,
                    CAST(sum(length(text)) AS BIGINT) AS n_chars_total,
-                   CAST(sum(CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT))
+                   CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
                         AS BIGINT) AS text_checksum
             FROM documents
             GROUP BY source

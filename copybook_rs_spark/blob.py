@@ -973,7 +973,9 @@ def decode_chunk(
         if len(values) != n_values:
             raise CountMismatchError("values count != n_values")
         if n_values and (int(values.min()) != vmin or int(values.max()) != vmax):
-            # catches a tampered vmin/vmax header (not under the body crc)
-            # as well as any payload that decodes outside its certification
+            # defense in depth: v3 puts vmin/vmax INSIDE the body crc
+            # (_body_crc), so header tampering already fails the checksum;
+            # this cross-check additionally catches any payload that
+            # decodes outside its own certification
             raise PayloadCorruptError("values min/max disagree with header")
     return doc_bytes, doc_lens, lengths, values

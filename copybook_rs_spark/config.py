@@ -91,10 +91,17 @@ class EncodeConfig:
             object.__setattr__(self, "fingerprint", schema_fingerprint(self.fields()))
 
     def extra_specs(self) -> tuple[tuple[str, str], ...]:
-        """Parsed (name, type) per extra column; bare names mean int64."""
+        """Parsed (name, type) per extra column; bare names mean int64.
+        A trailing colon ("emb:") is a typo, not a default — it would
+        silently truncate a float column through the int64 lane."""
         out = []
         for c in self.extra_columns:
-            name, _, etype = c.partition(":")
+            name, sep, etype = c.partition(":")
+            if sep and not etype:
+                raise ValueError(
+                    f"extra_columns: {c!r} has an empty type after ':' "
+                    f"(use a bare name for int64, or one of {self._EXTRA_TYPES})"
+                )
             out.append((name, etype or "int64"))
         return tuple(out)
 

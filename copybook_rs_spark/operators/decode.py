@@ -387,7 +387,8 @@ def filter_chunks_by_token_range(
     stats prune whole files), so skipped chunks are never read, let alone
     decompressed. The result is a CANDIDATE set: kept chunks may also hold
     out-of-range tokens (exactly the Iceberg data-skipping contract); apply
-    the exact predicate after decode. Header v2 carries the same certified
+    the exact predicate after decode. The blob header (crc-certified since
+    format v3) carries the same certified
     range inside each blob, so the envelope survives re-sharding."""
     from pyspark.sql import functions as F
 
@@ -418,22 +419,36 @@ def _hadoop_path(spark, path: str):
 
 
 def _publish_staging(spark, staging: str, out_dir: str) -> None:
-    """Atomically promote the staging directory to out_dir (delete-then-
-    rename through the Hadoop FS API, so it works on any Spark filesystem).
-    run_decode only calls this AFTER the error-budget check passes — a
-    failed run leaves no complete-looking dataset at out_dir."""
+    """Promote the staging directory to out_dir through the Hadoop FS API
+    (works on any Spark filesystem). A previous publish at out_dir is
+    renamed ASIDE (out_dir.__old__), never deleted before the new data is
+    in place — so no crash window destroys the prior dataset: a failure
+    mid-swap leaves the old output recoverable at .__old__ and the new one
+    intact in staging. run_decode only calls this AFTER the error-budget
+    check passes — a failed run leaves no complete-looking dataset at
+    out_dir."""
     fs, src = _hadoop_path(spark, staging)
     dst = spark._jvm.org.apache.hadoop.fs.Path(out_dir)
-    if fs.exists(dst):
-        fs.delete(dst, True)
+    old = spark._jvm.org.apache.hadoop.fs.Path(out_dir + ".__old__")
     parent = dst.getParent()
     if parent is not None and not fs.exists(parent):
         fs.mkdirs(parent)
+    if fs.exists(old):
+        fs.delete(old, True)
+    had_prev = fs.exists(dst)
+    if had_prev and not fs.rename(dst, old):
+        raise EngineError(
+            f"failed to move previous output aside: {out_dir}", code="CBSP301"
+        )
     if not fs.rename(src, dst):
+        if had_prev:
+            fs.rename(old, dst)  # restore the prior publish before failing
         raise EngineError(
             f"failed to publish decode output {staging} -> {out_dir}",
             code="CBSP301",
         )
+    if had_prev:
+        fs.delete(old, True)
 
 
 def _drop_staging(spark, staging: str) -> None:

@@ -48,12 +48,12 @@ def minhash_buckets(
 
     md5-string MinHash (see functions/text.py): deterministic, no UDF,
     whole pipeline stays in Catalyst expressions."""
-    words = F.split(F.col(text_col), " ")
+    w = f"split({text_col}, ' ')"
     sh = F.expr(
-        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), "
-        "i -> concat_ws('_', element_at(split(text, ' '), i), "
-        "element_at(split(text, ' '), least(i + 1, size(split(text, ' ')))), "
-        "element_at(split(text, ' '), least(i + 2, size(split(text, ' '))))))"
+        f"transform(sequence(1, greatest(size({w}) - 2, 1)), "
+        f"i -> concat_ws('_', element_at({w}, i), "
+        f"element_at({w}, least(i + 1, size({w}))), "
+        f"element_at({w}, least(i + 2, size({w})))))"
     )
     out = df.select("doc_id", sh.alias("sh"))
     sig_cols = [
@@ -335,7 +335,9 @@ def dedup_near(
     the deterministic representative (min doc_id) per cluster. Docs in no
     cluster pass through untouched; output = df minus the cluster losers
     (one anti-join on doc_id)."""
-    pairs = near_dup_candidates(df, max_bucket_size=max_bucket_size, **kw)
+    pairs = near_dup_candidates(
+        df, max_bucket_size=max_bucket_size, text_col=text_col, **kw
+    )
     if threshold is not None:
         pairs = _verify_jaccard(df, pairs, threshold, text_col)
     comp = connected_components(pairs)

@@ -57,12 +57,20 @@ def _live_part_dirs(root: str) -> list[str]:
     if not os.path.isdir(root):
         return []
     names = sorted(os.listdir(root))
-    covers = [n[len(_CONS_PREFIX) :] for n in names if n.startswith(_CONS_PREFIX)]
+    # a consolidated dir is only trusted once its _SUCCESS marker exists: a
+    # crash MID-write leaves a partial dir that must not become the live
+    # cover (it would shadow the raw dirs that still hold the real rows)
+    covers = [
+        n[len(_CONS_PREFIX) :]
+        for n in names
+        if n.startswith(_CONS_PREFIX)
+        and os.path.exists(os.path.join(root, n, "_SUCCESS"))
+    ]
     live_cover = max(covers, default=None)  # zero-padded ids sort lexically
     out = []
     for n in names:
         if n.startswith(_CONS_PREFIX):
-            if n[len(_CONS_PREFIX) :] == live_cover:
+            if live_cover is not None and n[len(_CONS_PREFIX) :] == live_cover:
                 out.append(n)
         elif n.startswith(_RAW_PREFIX):
             if live_cover is None or n[len(_RAW_PREFIX) :] > live_cover:
@@ -72,7 +80,14 @@ def _live_part_dirs(root: str) -> list[str]:
 
 def read_manifest_parts(spark: SparkSession, out_dir: str) -> DataFrame:
     """All LIVE manifest-part rows (see _live_part_dirs)."""
+    from copybook_rs_spark.errors import PipelineContractError
+
     dirs = _live_part_dirs(os.path.join(out_dir, "manifest_parts"))
+    if not dirs:
+        raise PipelineContractError(
+            f"no live manifest parts under {out_dir!r} — nothing committed "
+            "yet, or the path is wrong"
+        )
     return spark.read.parquet(*dirs)
 
 
@@ -101,7 +116,15 @@ def compact_manifest_parts(
     ).parquet(target)
     import shutil
 
-    for d in cons + fold_raw:  # best-effort: leftovers are superseded
+    # best-effort cleanup: the folded raw dirs, the superseded consolidated
+    # dir, and any partial consolidated leftovers from a crashed earlier
+    # compaction (they have no _SUCCESS, so readers already ignore them)
+    stale_cons = [
+        os.path.join(root, n)
+        for n in os.listdir(root)
+        if n.startswith(_CONS_PREFIX)
+    ]
+    for d in set(cons + fold_raw + stale_cons):
         if os.path.abspath(d) != os.path.abspath(target):
             shutil.rmtree(d, ignore_errors=True)
     return len(fold_raw)

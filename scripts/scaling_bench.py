@@ -204,7 +204,7 @@ def main() -> None:
         f"\n## Scaling receipt ({args.job}) — {stamp}\n",
         f"Input: {args.sf_dir} token table × {args.rep} replicas "
         f"= {small['n_docs']:,} docs / {small['n_tokens']:,} tokens (cached); "
-        f"encode job (salt plan fixed, auto codec, 64Ki-value chunks); "
+        f"{args.job} job (salt plan fixed, auto codec, 64Ki-value chunks); "
         f"1 warmup + {args.runs} timed runs per level, median reported "
         f"(criterion-style, cf. reference BASELINE_METHODOLOGY.md); "
         + (

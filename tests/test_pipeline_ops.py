@@ -494,3 +494,20 @@ def test_decoded_features_png_end_to_end(spark):
     for i in range(10):
         assert by_id[i * 2] == by_id[i * 2 + 1]
         assert by_id[i * 2][12] == 6.0 + i
+
+
+def test_dedup_near_custom_text_col(spark):
+    from copybook_rs_spark.operators.dedup import dedup_near
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = []
+    for i in range(4):
+        words = base.split(" ")
+        if i:
+            words[5 + i] = f"x{i}"
+        rows.append((f"d{i:03d}", " ".join(words)))
+    rows += [(f"u{i:03d}", f"unrelated body content {i} " * 6) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id string, body string")
+    out = dedup_near(df, text_col="body", threshold=0.5)
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert "d000" in kept and "d001" not in kept and "u003" in kept

@@ -589,3 +589,8 @@ def test_extra_columns_validation():
         EncodeConfig(extra_columns=("aux",)).fingerprint
         != EncodeConfig(extra_columns=("aux:float32",)).fingerprint
     )
+
+
+def test_extra_columns_trailing_colon_rejected():
+    with pytest.raises(ValueError, match="empty type"):
+        EncodeConfig(extra_columns=("emb:",))

@@ -298,3 +298,53 @@ def test_manifest_part_compaction_bounds_and_preserves(spark, tmp_path):
     assert stale not in live
     again = mani.merge_manifest_parts(read_manifest_parts(spark, out_dir))
     assert again.exceptAll(full).count() == 0 and full.exceptAll(again).count() == 0
+
+
+def test_partial_consolidated_dir_is_not_live(spark, tmp_path):
+    # a crash MID-consolidation leaves a cons dir without _SUCCESS; it must
+    # never become the live cover (it would shadow the real raw parts)
+    import os
+
+    from copybook_rs_spark.errors import PipelineContractError
+    from copybook_rs_spark.streaming.incremental import (
+        _live_part_dirs,
+        commit_batch,
+        read_manifest_parts,
+    )
+
+    out_dir = str(tmp_path / "enc")
+    df = synthetic_tokens(spark, "mixed", 100)
+    chunk_df = encode_tokens(df, CFG).withColumn(
+        "chunk_id", F.concat(F.lit("b00000000/"), F.col("chunk_id"))
+    )
+    commit_batch(chunk_df, out_dir, 0)
+    root = os.path.join(out_dir, "manifest_parts")
+    partial = os.path.join(root, "batch=c~b00000099")
+    os.makedirs(partial)  # simulated crashed write: no _SUCCESS, no data
+    live = _live_part_dirs(root)
+    assert partial not in live and len(live) == 1
+    m = mani.merge_manifest_parts(read_manifest_parts(spark, out_dir))
+    assert m.agg(F.sum("n_docs")).collect()[0][0] == df.count()
+    # empty/unwritten location raises a typed contract error, not a crash
+    with pytest.raises(PipelineContractError, match="no live manifest parts"):
+        read_manifest_parts(spark, str(tmp_path / "nowhere"))
+
+
+def test_run_decode_republish_preserves_and_swaps(spark, tmp_path):
+    # re-running run_decode over an existing out_dir swaps in the new data
+    # (old moved aside, never deleted first) and cleans the aside dir
+    import os
+
+    from copybook_rs_spark.operators.decode import run_decode
+
+    df = synthetic_tokens(spark, "mixed", 200)
+    cfg = EncodeConfig(chunk_values=1024, target_values_per_part=4096,
+                       shuffle_partitions=4)
+    chunks = encode_tokens(df, cfg).cache()
+    out = str(tmp_path / "out")
+    run_decode(chunks, out)
+    first = spark.read.parquet(out).count()
+    run_decode(chunks, out)  # re-publish over the existing dataset
+    assert spark.read.parquet(out).count() == first == df.count()
+    assert not os.path.exists(out + ".__old__")
+    assert not os.path.exists(out + ".__staging__")
