@@ -49,6 +49,35 @@ def _compute() -> dict:
             "bytes": len(b),
             "used": info["codec"],
         }
+    # typed-extras blob golden: pins the v3 extras grammar (etype tags,
+    # float raw-bits/byte-plane lanes, string byte-stream section)
+    rng = np.random.default_rng(77)
+    ids = sorted(f"g{i:05d}" for i in range(200))
+    doc_bytes = "".join(ids).encode()
+    doc_lens = np.full(200, 6, np.int64)
+    tl = rng.integers(1, 9, 200).astype(np.int64)
+    tv = rng.integers(0, 50_000, int(tl.sum())).astype(np.int64)
+    el = rng.integers(0, 7, 200).astype(np.int64)
+    ev = (rng.standard_normal(int(el.sum())) * 0.1).astype(np.float32)
+    dl_ = rng.integers(0, 4, 200).astype(np.int64)
+    dv = (rng.standard_normal(int(dl_.sum())) * 1e6).astype(np.float64)
+    sl_ = rng.integers(0, 24, 200).astype(np.int64)
+    sv = np.frombuffer(
+        bytes(rng.integers(97, 110, int(sl_.sum()), dtype=np.uint8)), np.uint8
+    ).copy()
+    b, info = blob.encode_chunk(
+        doc_bytes, doc_lens, tl, tv,
+        extras=[
+            ("emb", "float32", el, ev),
+            ("score", "float64", dl_, dv),
+            ("txt", "string", sl_, sv),
+        ],
+    )
+    out["typed_extras/blob"] = {
+        "sha256": hashlib.sha256(b).hexdigest(),
+        "bytes": len(b),
+        "used": info["codec"],
+    }
     return out
 
 
@@ -66,6 +95,11 @@ def test_golden_profile(golden, profile):
             continue
         got = computed[key]
         assert got == want, f"golden mismatch for {key}: {got} != {want}"
+
+
+def test_golden_typed_extras(golden):
+    got = _compute()["typed_extras/blob"]
+    assert got == golden["typed_extras/blob"], got
 
 
 def test_auto_selection_expected_codecs(golden):
