@@ -197,9 +197,15 @@ def _decode_one(
             )
         elif col == "n_tok":
             arrays.append(pa.array(lengths.astype(np.int32), type=pa.int32()))
-        else:  # source
+        else:  # source: constant string — build from buffers (tiled bytes),
+            # not a Python object array (no per-row object boxing/GC)
+            sb = source.encode("utf-8")
+            s_offs = (np.arange(n + 1, dtype=np.int32) * len(sb)).tobytes()
+            s_data = np.tile(np.frombuffer(sb, np.uint8), n).tobytes() if sb else b""
             arrays.append(
-                pa.array(np.full(n, source, dtype=object), type=pa.string())
+                pa.StringArray.from_buffers(
+                    n, pa.py_buffer(s_offs), pa.py_buffer(s_data)
+                )
             )
     return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
