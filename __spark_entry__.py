@@ -452,6 +452,43 @@ def _q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-cosine near-dup dedup: exact pair generation (the oracle
+    # twin; the LSH-bucketed path is the 100 TB shape, recall-tested in
+    # tests/test_pipeline_ops.py) -> connected components -> min-vec_id
+    # representative. Oracle = brute-force pairs + recursive-CTE closure.
+    from copybook_rs_spark.operators.dedup import connected_components
+    from copybook_rs_spark.operators.similarity import embedding_pairs_exact
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    pairs = embedding_pairs_exact(emb, 0.4)
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    kept = emb.join(losers, "vec_id", "left_anti")
+    return (
+        emb.agg(F.count("*").alias("n_vecs"))
+        .crossJoin(pairs.agg(F.count("*").alias("n_pairs")))
+        .crossJoin(
+            comp.agg(
+                F.count("*").alias("n_clustered"),
+                F.countDistinct("cluster_id").alias("n_clusters"),
+            )
+        )
+        .crossJoin(
+            kept.agg(
+                F.count("*").alias("n_kept"),
+                F.coalesce(F.sum("vec_id"), F.lit(0))
+                .cast("long")
+                .alias("kept_checksum"),
+            )
+        )
+    )
+
+
 def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: 64-bit SimHash fingerprints (numpy kernel)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -505,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditions_events": _q_conditions_events,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "dedup_near": _q_dedup_near,
+        "embedding_dedup": _q_embedding_dedup,
         "simhash_dedup": _q_simhash_dedup,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "multimodal_features": _q_multimodal_features,
@@ -609,6 +647,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag
         """,
         "dedup_near": text_sql.dedup_near_oracle_sql(),
+        "embedding_dedup": text_sql.embedding_dedup_oracle_sql(),
         # fixture-parquet oracles: simhash / multimodal byte-features are
         # deterministic pure functions of the documents table but not
         # SQL-expressible; the fixture pins them against an INDEPENDENT

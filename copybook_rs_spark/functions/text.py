@@ -249,3 +249,49 @@ def ann_cosine_topk_sql(dialect: str, k: int = 10) -> str:
     ORDER BY cos_sim DESC, e.vec_id ASC
     LIMIT {k}
     """
+
+
+def embedding_dedup_oracle_sql(threshold: float = 0.4) -> str:
+    """DuckDB-only oracle for embedding-cosine dedup: brute-force all-pairs
+    cosine (the exact twin of operators/similarity.py:embedding_pairs_exact,
+    identical sequential double fold) + recursive-CTE transitive closure +
+    min-vec_id representative. Summary row mirrors the Spark aggregate."""
+    dot = (
+        "list_sum(list_transform(range(1, len(a.embedding) + 1), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    )
+    na = (
+        "sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))"
+    )
+    nb = (
+        "sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1), "
+        "i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))"
+    )
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {dot} / ({na} * {nb}) >= {threshold}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comps AS (SELECT node AS vec_id, min(comp) AS cluster_id FROM reach GROUP BY node),
+    losers AS (SELECT vec_id FROM comps WHERE vec_id != cluster_id)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vecs,
+           (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM comps) AS n_clustered,
+           (SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) FROM comps) AS n_clusters,
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+             WHERE vec_id NOT IN (SELECT vec_id FROM losers)) AS n_kept,
+           (SELECT CAST(coalesce(sum(vec_id), 0) AS BIGINT) FROM embeddings
+             WHERE vec_id NOT IN (SELECT vec_id FROM losers)) AS kept_checksum
+    """

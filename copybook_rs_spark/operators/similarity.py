@@ -243,3 +243,112 @@ def lsh_topk(
     )
     cand = sigs.filter(F.col("bucket").isin(probes)).select("vec_id")
     return cosine_topk(df.join(cand, "vec_id", "inner"), query, k)
+
+
+def _pair_cosine() -> "F.Column":
+    """cos(a.embedding, b.embedding) in DOUBLE with a sequential fold —
+    the exact expression shape of ann_cosine_topk_sql, so Spark and DuckDB
+    compute bit-identical values (order-stable, no parallel reduction)."""
+    dot = F.expr(
+        "aggregate(zip_with(a.embedding, b.embedding, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    na = F.expr(
+        "sqrt(aggregate(transform(a.embedding, x -> CAST(x AS DOUBLE) * "
+        "CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    nb = F.expr(
+        "sqrt(aggregate(transform(b.embedding, x -> CAST(x AS DOUBLE) * "
+        "CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    return dot / (na * nb)
+
+
+def embedding_pairs_exact(df: DataFrame, threshold: float) -> DataFrame:
+    """All (id_a < id_b) pairs with cosine >= threshold by brute-force
+    self-join — O(n^2): the correctness oracle twin and the small-corpus
+    path. At scale use embedding_near_dup_pairs (LSH-bucketed)."""
+    a, b = df.alias("a"), df.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(_pair_cosine() >= threshold)
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float,
+    n_planes: int = 8,
+    seed: int = 42,
+    n_tables: int = 4,
+    max_bucket_size: int = 4096,
+) -> DataFrame:
+    """(id_a < id_b) candidate pairs sharing a random-hyperplane LSH bucket
+    in ANY of n_tables independent signature tables, verified with exact
+    cosine >= threshold. The 100 TB shape: per table one bucket equi-join
+    over the signature table (same plan as MinHash-LSH text dedup), exact
+    re-rank only inside candidate buckets; degenerate buckets above
+    max_bucket_size are dropped (boilerplate/zero vectors — the text-LSH
+    cap argument, operators/dedup.py:near_dup_candidates).
+
+    Recall: P[same bucket in >=1 of t tables] = 1 - (1 - (1 - θ/π)^p)^t for
+    angle θ; tested against embedding_pairs_exact on planted near-dups."""
+    cand = None
+    for t in range(n_tables):
+        sigs = lsh_signatures(df, dim, n_planes, seed + 1000003 * t)
+        sizes = sigs.groupBy("bucket").agg(F.count("*").alias("_bsz"))
+        keep = sigs.join(
+            sizes.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz"),
+            "bucket",
+        )
+        p = (
+            keep.alias("x")
+            .join(
+                keep.alias("y"),
+                (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.vec_id") < F.col("y.vec_id")),
+            )
+            .select(
+                F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
+            )
+        )
+        cand = p if cand is None else cand.unionAll(p)
+    cand = cand.distinct()
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding"))
+    joined = (
+        cand.join(a.alias("a"), "id_a").join(b.alias("b"), "id_b")
+    )
+    return joined.filter(_pair_cosine() >= threshold).select("id_a", "id_b")
+
+
+def dedup_embeddings(
+    df: DataFrame,
+    dim: int | None = None,
+    threshold: float = 0.9,
+    method: str = "lsh",
+    **kw,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate removal: pairs (exact or LSH) ->
+    connected components -> keep the deterministic representative (min
+    vec_id) per cluster — the embedding-space twin of dedup_near
+    (operators/dedup.py), sharing its clustering operator."""
+    from copybook_rs_spark.operators.dedup import connected_components
+
+    if method == "exact":
+        pairs = embedding_pairs_exact(df, threshold)
+    else:
+        if dim is None:
+            raise ValueError("dedup_embeddings(method='lsh') requires dim")
+        pairs = embedding_near_dup_pairs(df, dim, threshold, **kw)
+    comp = connected_components(pairs)
+    losers = (
+        comp.filter(F.col("doc_id") != F.col("cluster_id"))
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    return df.join(losers, "vec_id", "left_anti")

@@ -511,3 +511,74 @@ def test_dedup_near_custom_text_col(spark):
     out = dedup_near(df, text_col="body", threshold=0.5)
     kept = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert "d000" in kept and "d001" not in kept and "u003" in kept
+
+
+def _planted_embeddings(spark, n_base=60, dim=16, dups_per=2, noise=0.03, seed=3):
+    # clusters of near-identical vectors (cos ~> 0.97) + the bases
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows, truth = [], []
+    vid = 0
+    for i in range(n_base):
+        ids = []
+        for _ in range(1 + (dups_per if i % 3 == 0 else 0)):
+            v = base[i] + noise * rng.standard_normal(dim)
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(np.float32(x)) for x in v]))
+            ids.append(vid)
+            vid += 1
+        if len(ids) > 1:
+            truth.append(ids)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, truth
+
+
+def test_embedding_pairs_exact_and_dedup(spark):
+    from copybook_rs_spark.operators.similarity import (
+        dedup_embeddings,
+        embedding_pairs_exact,
+    )
+
+    df, truth = _planted_embeddings(spark)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_pairs_exact(df, 0.9).collect()
+    }
+    for cluster in truth:  # every planted dup pair is found
+        for i, a in enumerate(cluster):
+            for b in cluster[i + 1 :]:
+                assert (a, b) in pairs, (a, b)
+    out = dedup_embeddings(df, threshold=0.9, method="exact")
+    kept = {r["vec_id"] for r in out.select("vec_id").collect()}
+    for cluster in truth:
+        assert min(cluster) in kept
+        assert not any(c in kept for c in cluster[1:])
+    # deterministic across runs
+    kept2 = {
+        r["vec_id"]
+        for r in dedup_embeddings(df, threshold=0.9, method="exact")
+        .select("vec_id").collect()
+    }
+    assert kept == kept2
+
+
+def test_embedding_lsh_recall_vs_exact(spark):
+    from copybook_rs_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_pairs_exact,
+    )
+
+    df, _ = _planted_embeddings(spark, n_base=80)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_pairs_exact(df, 0.9).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, 16, 0.9).collect()
+    }
+    assert got <= exact  # verify step guarantees no false positives
+    assert len(exact) > 0
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, recall
