@@ -102,7 +102,7 @@ _HDR_PLAIN = struct.Struct("<IB")
 _HDR_FOR = struct.Struct("<Iq")
 _HDR_RLE = struct.Struct("<II")
 
-_FSST_SAMPLE = 8192
+_FSST_SAMPLE = 2048
 _FSST_MIN_N = 64
 
 
@@ -121,6 +121,7 @@ class ChunkStats:
     max_run_len: int
     max_zz_delta: int
     n_delta_runs: int = 0  # runs in the (modular) diff stream
+    zz_delta_p99: int = 0  # 99th-percentile zigzag delta (0 = unknown)
     mode_count: int = 0  # frequency of the most common value (0 = unknown)
     _uniq: np.ndarray | None = field(default=None, repr=False)
     _uniq_counts: np.ndarray | None = field(default=None, repr=False)
@@ -157,6 +158,17 @@ class ChunkStats:
         zz_first = vi.zigzag_encode(v[:1])
         zz_rest = vi.zigzag_encode(diffs_u.view(np.int64))
         max_zz = int(max(zz_first.max(), zz_rest.max()) if n > 1 else zz_first.max())
+        # robust delta width: largest zigzag delta EXCLUDING the top
+        # max(1, 1%) outliers (exact kth via partition) — distinguishes
+        # "uniformly wide deltas" (delta can't win) from "small deltas +
+        # a few outlier jumps" (delta+pfor territory). The max(1, ...)
+        # keeps the exclusion meaningful at small n, where a plain p99
+        # degenerates to the max and re-includes the outlier.
+        if n > 2:
+            k = len(zz_rest) - 1 - max(1, len(zz_rest) // 100)
+            zz_p99 = int(np.partition(zz_rest, k)[k]) if k >= 0 else 0
+        else:
+            zz_p99 = max_zz
         return cls(
             n=n,
             vmin=vmin,
@@ -166,6 +178,8 @@ class ChunkStats:
             is_sorted=is_sorted,
             max_run_len=max_run,
             max_zz_delta=max_zz,
+            zz_delta_p99=zz_p99,
+            n_delta_runs=n_delta_runs,
             mode_count=int(ucounts.max()) if ucounts is not None else 0,
             _uniq=uniq,
             _uniq_counts=ucounts,
@@ -450,6 +464,32 @@ def _encode_named(name: str, v: np.ndarray, stats: ChunkStats | None, depth: int
     raise UnknownCodecError(f"unknown codec {name!r}")
 
 
+def _delta_floor(v: np.ndarray) -> int:
+    """Optimistic (never above achievable) size estimate for the delta
+    candidate, from the zigzag-delta bit-width histogram: the best of a
+    terminal bitpack at full width and, per pfor width w, packed(n, w) +
+    packed(n_exceptions, top_width - w) with all framing/gap costs dropped.
+    Used only to CONFIRM the run-free-wide-delta skip — if this floor could
+    beat the current best, the full delta cascade still runs."""
+    n = len(v)
+    if n < 2:
+        return 0
+    vu = np.ascontiguousarray(v, dtype=np.int64).view(np.uint64)
+    zz = vi.zigzag_encode((vu[1:] - vu[:-1]).view(np.int64)).view(np.uint64)
+    bounds = (np.uint64(1) << np.arange(1, 64, dtype=np.uint64)).astype(np.uint64)
+    w = np.searchsorted(bounds, zz, side="right") + 1
+    top = int(w.max())
+    counts = np.bincount(w, minlength=top + 1)
+    cum = np.cumsum(counts)  # cum[k] = # deltas with width <= k
+    best = 6 + bp.packed_size(n - 1, top)
+    for ww in range(1, top):
+        n_exc = int(n - 1 - cum[ww])
+        cand = 17 + bp.packed_size(n - 1, ww) + bp.packed_size(n_exc, top - ww)
+        if cand < best:
+            best = cand
+    return 1 + 5 + best
+
+
 def encode_array(
     vals: np.ndarray,
     codec: str = "auto",
@@ -492,6 +532,34 @@ def encode_array(
             # periodic structures patch/pfor capture on the original stream
         if name == "dict" and stats.n_distinct > max(stats.n // 2, 4):
             continue  # heuristic, same reasoning
+        if name == "dict" and best is not None and (
+            est.get("dict", 0) > 1.25 * len(best) + 64
+        ):
+            continue  # heuristic est-prune: est["dict"] is the closed-form
+            # non-cascaded layout; the cascade can shrink the sorted-uniques
+            # and index sub-streams, but an index stream structured enough
+            # to close a >25% gap implies equal structure in the original
+            # values, which the direct candidates already capture
+        if name == "for" and stats.n and stats.vmin >= 0 and (
+            bp.bit_width(stats.vmax) == bp.bit_width(stats.vmax - stats.vmin)
+        ):
+            continue  # EXACT dominance: equal widths make FOR's terminal
+            # sub-payload byte-identical to direct bitpack/plain plus a
+            # 13-byte reference header — it can never win
+        if name == "delta" and best is not None and (
+            stats.n_delta_runs > max(stats.n // 2, 4)
+            and 0 < stats.zz_delta_p99
+            and stats.zz_delta_p99 >= stats.vmax - stats.vmin
+        ) and _delta_floor(v) >= len(best):
+            continue  # a run-free delta stream whose typical (p99) width
+            # already covers the value range usually offers the cascade
+            # nothing — but delta+pfor can still shave a few bits via
+            # re-referencing (e.g. float64 bit patterns with clustered
+            # exponents), so the skip is confirmed by _delta_floor: an
+            # OPTIMISTIC closed-form size from the zigzag-width histogram.
+            # A skip therefore never discards a winning candidate the
+            # floor can see; the floor costs one zigzag + histogram pass
+            # (~1/10 of the full try: zigzag + a depth+1 cascade).
         if name == "patch" and (
             stats.mode_count == 0  # mode unknown (shallow stats): skip
             or stats.n - stats.mode_count > max(stats.n // 2, 4)
