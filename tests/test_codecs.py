@@ -279,3 +279,42 @@ def test_exception_gap_overflow_raises_typed_error():
     )
     with pytest.raises(EngineError):
         core.decode_array(payload)
+
+
+def test_selection_gates_never_cost_much():
+    # the r3 candidate-pruning gates (FOR dominance, dict est-prune,
+    # floor-confirmed delta skip) must keep auto within a whisker of the
+    # best NAMED codec on adversarial stream shapes — including the ones
+    # each gate was designed around
+    rng = np.random.default_rng(5)
+    streams = {
+        "uniform_wide": rng.integers(0, 32000, 20000).astype(np.int64),
+        "sorted_rand": np.sort(rng.integers(0, 10**9, 20000)).astype(np.int64),
+        "staircase_2step": np.cumsum(rng.choice([7, 13], 20000)).astype(np.int64),
+        "oscillate_2pt": rng.choice([0, 32000], 20000).astype(np.int64),
+        "f64_bits": rng.standard_normal(4000).astype(np.float64).view(np.int64),
+        "sorted_extreme_gaps": np.sort(
+            np.concatenate([rng.integers(0, 10**6, 4000),
+                            np.array([2**62, -(2**62)])])
+        ).astype(np.int64),
+        # rle would win here but the long-standing run-density heuristic
+        # (predates the r3 gates; verified identical old-vs-new) trades it
+        # for delta at ~18% — hence the looser global bound below
+        "small_delta_outliers": np.cumsum(
+            np.where(rng.random(20000) < 0.01, 10**12, rng.integers(0, 9, 20000))
+        ).astype(np.int64),
+    }
+    exact = {"uniform_wide", "sorted_rand", "staircase_2step",
+             "oscillate_2pt", "sorted_extreme_gaps"}
+    for name, v in streams.items():
+        auto, used = core.encode_array(v, codec="auto")
+        np.testing.assert_array_equal(core.decode_array(auto), v)
+        best_named = min(
+            len(core.encode_array(v, codec=c)[0])
+            for c in ("plain", "bitpack", "for", "delta", "rle", "dict",
+                      "patch", "pfor")
+            if not (c == "bitpack" and v.min() < 0)
+        )
+        if name in exact:  # the gate-targeted shapes must lose NOTHING
+            assert len(auto) <= best_named, (name, used, len(auto), best_named)
+        assert len(auto) <= best_named * 1.25 + 64, (name, used, len(auto), best_named)
