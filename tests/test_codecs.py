@@ -297,15 +297,15 @@ def test_selection_gates_never_cost_much():
             np.concatenate([rng.integers(0, 10**6, 4000),
                             np.array([2**62, -(2**62)])])
         ).astype(np.int64),
-        # rle would win here but the long-standing run-density heuristic
-        # (predates the r3 gates; verified identical old-vs-new) trades it
-        # for delta at ~18% — hence the looser global bound below
+        # sorted with duplicate bursts + outlier jumps: rle wins via its
+        # monotone run-values sub-stream (the sorted exception to the
+        # run-density gate)
         "small_delta_outliers": np.cumsum(
             np.where(rng.random(20000) < 0.01, 10**12, rng.integers(0, 9, 20000))
         ).astype(np.int64),
     }
     exact = {"uniform_wide", "sorted_rand", "staircase_2step",
-             "oscillate_2pt", "sorted_extreme_gaps"}
+             "oscillate_2pt", "sorted_extreme_gaps", "small_delta_outliers"}
     for name, v in streams.items():
         auto, used = core.encode_array(v, codec="auto")
         np.testing.assert_array_equal(core.decode_array(auto), v)
