@@ -489,6 +489,20 @@ def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # near-dup pairs within Hamming distance 3 of the 64-bit SimHash —
+    # pigeonhole-complete banding (recall exactly 1.0, so the brute-force
+    # oracle over the independent fixture fingerprints matches EXACTLY)
+    from copybook_rs_spark.operators.dedup import simhash, simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = simhash_pairs(simhash(docs), max_distance=3)
+    return pairs.groupBy("distance").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col("id_a") + F.col("id_b")).alias("pair_checksum"),
+    )
+
+
 def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: 64-bit SimHash fingerprints (numpy kernel)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -544,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near": _q_dedup_near,
         "embedding_dedup": _q_embedding_dedup,
         "simhash_dedup": _q_simhash_dedup,
+        "simhash_pairs": _q_simhash_pairs,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "multimodal_features": _q_multimodal_features,
         "audit_report": _q_audit_report,
@@ -665,6 +680,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, kind, n_bytes, f0, f15
             FROM '/root/repo/tests/fixtures/multimodal_oracle.parquet'
             WHERE sf_key = (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents)
+        """,
+        "simhash_pairs": """
+            WITH fp AS (
+              SELECT doc_id, simhash
+              FROM '/root/repo/tests/fixtures/simhash_oracle.parquet'
+              WHERE sf_key = (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents)
+            )
+            SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                     AS distance,
+                   count(*) AS n_pairs,
+                   CAST(sum(a.doc_id + b.doc_id) AS BIGINT) AS pair_checksum
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            GROUP BY 1
         """,
         "embeddings_roundtrip": """
             SELECT CAST(vec_id % 4 AS VARCHAR) AS source,

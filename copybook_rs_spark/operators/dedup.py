@@ -343,3 +343,67 @@ def dedup_near(
     comp = connected_components(pairs)
     losers = comp.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return df.join(losers, "doc_id", "left_anti")
+
+
+def simhash_pairs(
+    fp: DataFrame, max_distance: int = 3, max_band_size: int | None = None
+) -> DataFrame:
+    """(id_a < id_b, distance) pairs of 64-bit SimHash fingerprints within
+    Hamming distance max_distance — COMPLETE (recall exactly 1.0) by the
+    pigeonhole principle: the fingerprint splits into k = max_distance + 1
+    bands, and d <= max_distance differing bits can dirty at most d < k
+    bands, so every qualifying pair shares at least one band verbatim (the
+    multi-index Hamming search construction). Per band one equi-join on
+    the band bits; candidates get one exact bit_count verify.
+
+    max_band_size (None = exact) drops degenerate bands larger than the
+    cap — the LSH scale valve; capped runs trade completeness for a
+    bounded join, auditable by comparing pair counts."""
+    if not 0 <= max_distance <= 15:
+        raise ValueError("max_distance must be in [0, 15]")
+    k = max_distance + 1
+    w, rem = divmod(64, k)
+    bands = None
+    off = 0
+    for j in range(k):
+        bw = w + (1 if j < rem else 0)
+        part = fp.select(
+            F.col("doc_id"),
+            F.lit(j).alias("band_idx"),
+            F.expr(
+                f"shiftrightunsigned(simhash, {off}) & {(1 << bw) - 1}"
+            ).alias("band_bits"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+        off += bw
+    if max_band_size is not None:
+        sizes = bands.groupBy("band_idx", "band_bits").agg(
+            F.count("*").alias("_bsz")
+        )
+        bands = bands.join(
+            sizes.filter(F.col("_bsz") <= max_band_size).drop("_bsz"),
+            ["band_idx", "band_bits"],
+        )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_bits") == F.col("y.band_bits"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .distinct()
+    )
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_ha"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_hb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("cast(bit_count(_ha ^ _hb) as int)").alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+    )

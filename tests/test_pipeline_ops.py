@@ -582,3 +582,27 @@ def test_embedding_lsh_recall_vs_exact(spark):
     assert len(exact) > 0
     recall = len(got & exact) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_simhash_pairs_complete_vs_bruteforce(spark, docs):
+    # pigeonhole banding must find EXACTLY the brute-force pair set —
+    # recall 1.0 by construction (d differing bits touch at most d < k bands)
+    from copybook_rs_spark.operators.dedup import simhash, simhash_pairs
+
+    fp = simhash(docs).cache()
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in simhash_pairs(fp, max_distance=3).collect()
+    }
+    rows = fp.collect()
+    brute = set()
+    for i, a in enumerate(rows):
+        for b in rows[i + 1 :]:
+            ia, ib = sorted((a["doc_id"], b["doc_id"]))
+            d = bin((a["simhash"] ^ b["simhash"]) & (2**64 - 1)).count("1")
+            if d <= 3:
+                brute.add((ia, ib, d))
+    assert got == brute
+    assert len(brute) > 0  # fixture actually contains near-dups
+    # distance 0 subset equals exact-fingerprint duplicates
+    assert {p for p in brute if p[2] == 0} == {p for p in got if p[2] == 0}
