@@ -496,7 +496,10 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from copybook_rs_spark.operators.dedup import simhash, simhash_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pairs = simhash_pairs(simhash(docs), max_distance=3)
+    # materialize fingerprints once: the band build is single-pass but the
+    # two verify joins would re-run the kernel over the corpus
+    fp = simhash(docs).localCheckpoint()
+    pairs = simhash_pairs(fp, max_distance=3)
     return pairs.groupBy("distance").agg(
         F.count("*").alias("n_pairs"),
         F.sum(F.col("id_a") + F.col("id_b")).alias("pair_checksum"),

@@ -487,7 +487,9 @@ def _delta_floor(v: np.ndarray) -> int:
         cand = 17 + bp.packed_size(n - 1, ww) + bp.packed_size(n_exc, top - ww)
         if cand < best:
             best = cand
-    return 1 + 5 + best
+    # delta framing is codec byte + u32 count = 5 bytes (_encode_delta) —
+    # the floor must never exceed the achievable size
+    return 1 + 4 + best
 
 
 def encode_array(

@@ -268,11 +268,16 @@ def embedding_dedup_oracle_sql(threshold: float = 0.4) -> str:
         "sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1), "
         "i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))"
     )
+    sq = (
+        "list_sum(list_transform({v}.embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
     return f"""
     WITH RECURSIVE pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE {dot} / ({na} * {nb}) >= {threshold}
+      WHERE {sq.format(v="a")} > 0 AND {sq.format(v="b")} > 0
+        AND {dot} / ({na} * {nb}) >= {threshold}
     ),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs

@@ -200,6 +200,14 @@ def _decode_one(
         else:  # source: constant string — build from buffers (tiled bytes),
             # not a Python object array (no per-row object boxing/GC)
             sb = source.encode("utf-8")
+            if (n + 1) * len(sb) >= (1 << 31):
+                # StringArray offsets are int32; a silent numpy wrap would
+                # emit corrupt data instead of a typed error (invariant 3)
+                raise EngineError(
+                    f"source column exceeds 2 GiB in one chunk "
+                    f"({n} rows x {len(sb)} bytes)",
+                    code="CBSP203",
+                )
             s_offs = (np.arange(n + 1, dtype=np.int32) * len(sb)).tobytes()
             s_data = np.tile(np.frombuffer(sb, np.uint8), n).tobytes() if sb else b""
             arrays.append(

@@ -363,19 +363,24 @@ def simhash_pairs(
         raise ValueError("max_distance must be in [0, 15]")
     k = max_distance + 1
     w, rem = divmod(64, k)
-    bands = None
+    band_exprs = []
     off = 0
     for j in range(k):
         bw = w + (1 if j < rem else 0)
-        part = fp.select(
-            F.col("doc_id"),
-            F.lit(j).alias("band_idx"),
-            F.expr(
-                f"shiftrightunsigned(simhash, {off}) & {(1 << bw) - 1}"
-            ).alias("band_bits"),
-        )
-        bands = part if bands is None else bands.unionAll(part)
+        shifted = f"shiftrightunsigned(simhash, {off})"
+        if bw < 64:  # a 64-bit mask literal parses as DECIMAL and fails;
+            # the full-width band (max_distance = 0) needs no mask at all
+            shifted = f"{shifted} & {(1 << bw) - 1}"
+        band_exprs.append(shifted)
         off += bw
+    # one projection + posexplode = a single pass over fp for ALL bands
+    # (a per-band unionAll would re-evaluate the fingerprint lineage k times)
+    bands = fp.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.expr(e) for e in band_exprs])).alias(
+            "band_idx", "band_bits"
+        ),
+    )
     if max_band_size is not None:
         sizes = bands.groupBy("band_idx", "band_bits").agg(
             F.count("*").alias("_bsz")

@@ -265,11 +265,27 @@ def _pair_cosine() -> "F.Column":
     return dot / (na * nb)
 
 
+_SQNORM = (
+    "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _nonzero(df: DataFrame) -> DataFrame:
+    """Drop zero-norm vectors: their cosine is undefined — under ANSI mode
+    the division raises, with ANSI off NaN compares true against any
+    threshold and the zero vector would pair with the whole corpus. The
+    oracle twin (functions/text.py) filters identically."""
+    return df.filter(F.expr(_SQNORM) > 0)
+
+
 def embedding_pairs_exact(df: DataFrame, threshold: float) -> DataFrame:
     """All (id_a < id_b) pairs with cosine >= threshold by brute-force
     self-join — O(n^2): the correctness oracle twin and the small-corpus
-    path. At scale use embedding_near_dup_pairs (LSH-bucketed)."""
-    a, b = df.alias("a"), df.alias("b")
+    path. At scale use embedding_near_dup_pairs (LSH-bucketed). Zero-norm
+    vectors never pair (see _nonzero)."""
+    nz = _nonzero(df)
+    a, b = nz.alias("a"), nz.alias("b")
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .filter(_pair_cosine() >= threshold)
@@ -297,7 +313,9 @@ def embedding_near_dup_pairs(
     cap argument, operators/dedup.py:near_dup_candidates).
 
     Recall: P[same bucket in >=1 of t tables] = 1 - (1 - (1 - θ/π)^p)^t for
-    angle θ; tested against embedding_pairs_exact on planted near-dups."""
+    angle θ; tested against embedding_pairs_exact on planted near-dups.
+    Zero-norm vectors never pair (see _nonzero)."""
+    df = _nonzero(df)
     cand = None
     for t in range(n_tables):
         sigs = lsh_signatures(df, dim, n_planes, seed + 1000003 * t)

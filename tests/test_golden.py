@@ -87,9 +87,15 @@ def golden():
         return json.load(f)
 
 
+@pytest.fixture(scope="module")
+def computed():
+    # one _compute() for the whole module — each parametrized profile test
+    # plus the extras test indexes into it instead of re-encoding everything
+    return _compute()
+
+
 @pytest.mark.parametrize("profile", PROFILES)
-def test_golden_profile(golden, profile):
-    computed = _compute()
+def test_golden_profile(golden, computed, profile):
     for key, want in golden.items():
         if not key.startswith(profile + "/"):
             continue
@@ -97,8 +103,8 @@ def test_golden_profile(golden, profile):
         assert got == want, f"golden mismatch for {key}: {got} != {want}"
 
 
-def test_golden_typed_extras(golden):
-    got = _compute()["typed_extras/blob"]
+def test_golden_typed_extras(golden, computed):
+    got = computed["typed_extras/blob"]
     assert got == golden["typed_extras/blob"], got
 
 

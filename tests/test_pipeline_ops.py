@@ -606,3 +606,53 @@ def test_simhash_pairs_complete_vs_bruteforce(spark, docs):
     assert len(brute) > 0  # fixture actually contains near-dups
     # distance 0 subset equals exact-fingerprint duplicates
     assert {p for p in brute if p[2] == 0} == {p for p in got if p[2] == 0}
+
+
+def test_embedding_dedup_survives_zero_vector(spark):
+    from copybook_rs_spark.operators.similarity import (
+        dedup_embeddings,
+        embedding_near_dup_pairs,
+        embedding_pairs_exact,
+    )
+
+    df, truth = _planted_embeddings(spark, n_base=20)
+    zero = spark.createDataFrame(
+        [(99990, [0.0] * 16), (99991, [0.0] * 16)],
+        "vec_id long, embedding array<float>",
+    )
+    full = df.unionAll(zero)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_pairs_exact(full, 0.9).collect()
+    }
+    assert not any(99990 in p or 99991 in p for p in pairs)
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(full, 16, 0.9).collect()
+    }
+    assert not any(99990 in p or 99991 in p for p in lsh)
+    kept = {
+        r["vec_id"]
+        for r in dedup_embeddings(full, threshold=0.9, method="exact")
+        .select("vec_id").collect()
+    }
+    assert 99990 in kept and 99991 in kept  # zero vectors pass through
+
+
+def test_simhash_pairs_distance_zero(spark, docs):
+    # max_distance=0 (single unmasked 64-bit band) = exact-fingerprint dups
+    from copybook_rs_spark.operators.dedup import simhash, simhash_pairs
+
+    fp = simhash(docs).cache()
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(fp, max_distance=0).collect()
+    }
+    rows = fp.collect()
+    brute = {
+        tuple(sorted((a["doc_id"], b["doc_id"])))
+        for i, a in enumerate(rows)
+        for b in rows[i + 1 :]
+        if a["simhash"] == b["simhash"]
+    }
+    assert got == brute and len(brute) > 0
