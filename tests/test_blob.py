@@ -374,3 +374,36 @@ def test_template_corruption_detected():
         blob._decode_doc_bytes(memoryview(sec), len(db), dl + 1)
     with pytest.raises(EngineError):
         blob._decode_doc_bytes(memoryview(sec[:10]), len(db), dl)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    bits=st.lists(st.integers(0, 2**32 - 1), min_size=0, max_size=400),
+    wide=st.booleans(),
+)
+@settings(max_examples=150, deadline=None)
+def test_float_section_roundtrip_property(bits, wide):
+    # EVERY bit pattern — NaN payloads, ±inf, -0.0, denormals, random —
+    # must survive the float lanes exactly (reference float type authority:
+    # never via decimal/rounding)
+    if wide:
+        vals = np.array(
+            [b | (b << 32) for b in bits], dtype=np.uint64
+        ).view(np.float64)
+        etype = blob.ETYPE_FLOAT64
+    else:
+        vals = np.array(bits, dtype=np.uint32).view(np.float32)
+        etype = blob.ETYPE_FLOAT32
+    enc = blob._encode_float_section(vals)
+    dec = blob._decode_float_section(memoryview(enc), len(vals), etype)
+    assert dec.tobytes() == vals.tobytes()
+    # truncation never yields wrong data
+    for cut in (0, 1, len(enc) // 2):
+        try:
+            out = blob._decode_float_section(memoryview(enc[:cut]), len(vals), etype)
+            assert out.tobytes() == vals.tobytes()
+        except EngineError as e:
+            assert str(e).startswith("CBSP")
