@@ -8,3 +8,4 @@ foreachBatch + the manifest."""
 
 from copybook_rs_spark.streaming.incremental import incremental_encode  # noqa: F401
 from copybook_rs_spark.streaming.windows import windowed_event_counts  # noqa: F401
+from copybook_rs_spark.streaming.dedup import streaming_exact_dedup  # noqa: F401

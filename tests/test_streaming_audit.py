@@ -348,3 +348,42 @@ def test_run_decode_republish_preserves_and_swaps(spark, tmp_path):
     assert spark.read.parquet(out).count() == first == df.count()
     assert not os.path.exists(out + ".__old__")
     assert not os.path.exists(out + ".__staging__")
+
+
+def test_streaming_exact_dedup_stateful(spark, tmp_path):
+    # custom stateful operator (applyInPandasWithState): first occurrence
+    # per content digest passes through; duplicates are dropped both
+    # WITHIN a batch (deterministic min-doc_id winner) and ACROSS batches
+    # (checkpointed per-digest state survives stream restarts)
+    from copybook_rs_spark.streaming import streaming_exact_dedup
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch(
+        [(5, "alpha"), (3, "alpha"), (9, "beta"), (1, "gamma"), (7, "beta")]
+    )
+    got1 = {(r["doc_id"], r["text"]) for r in spark.read.parquet(out_dir).collect()}
+    # min doc_id per digest within the batch
+    assert got1 == {(3, "alpha"), (7, "beta"), (1, "gamma")}
+    # second batch: cross-batch duplicates dropped via state; new text passes
+    run_batch([(2, "alpha"), (8, "delta"), (6, "gamma"), (4, "delta")])
+    got2 = {(r["doc_id"], r["text"]) for r in spark.read.parquet(out_dir).collect()}
+    assert got2 == got1 | {(4, "delta")}
