@@ -656,3 +656,40 @@ def test_simhash_pairs_distance_zero(spark, docs):
         if a["simhash"] == b["simhash"]
     }
     assert got == brute and len(brute) > 0
+
+
+def test_transform_media_resize_and_clip(spark):
+    from copybook_rs_spark.operators.multimodal import (
+        decode_media,
+        make_bmp,
+        make_png,
+        make_wav,
+        resize_image,
+        transform_media,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = []
+    img_a = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    img_b = rng.integers(0, 256, (10, 10, 3), dtype=np.uint8)
+    wave = rng.integers(-2000, 2000, (16000, 2)).astype(np.int16)  # 1 s @16k
+    rows.append((1, bytearray(make_bmp(img_a)), "image"))
+    rows.append((2, bytearray(make_png(img_b)), "image"))
+    rows.append((3, bytearray(make_wav(wave, 16000)), "audio"))
+    df = spark.createDataFrame(rows, "media_id long, media binary, kind string")
+    out = {
+        r["media_id"]: (r["kind"], bytes(r["media"]))
+        for r in transform_media(
+            df, width=16, height=8, start_ms=250, duration_ms=500
+        ).collect()
+    }
+    # images resized to 16x8, container preserved
+    got_a = decode_media(out[1][1], "image")
+    assert got_a.shape == (8, 16, 3)
+    np.testing.assert_array_equal(got_a, resize_image(img_a, 16, 8))
+    assert out[2][1][:8] == b"\x89PNG\r\n\x1a\n"  # PNG in -> PNG out
+    assert decode_media(out[2][1], "image").shape == (8, 16, 3)
+    # audio clipped to 500 ms = 8000 samples, rate preserved
+    got_w, got_rate = decode_media(out[3][1], "audio")
+    assert got_rate == 16000 and got_w.shape == (8000, 2)
+    np.testing.assert_array_equal(got_w, wave[4000:12000])
