@@ -237,20 +237,35 @@ def decoded_features(data: bytes, kind: str) -> np.ndarray:
     raise NotImplementedError(f"no feature extractor for kind={kind!r}")
 
 
+def _binary_views(arr: pa.Array):
+    """Zero-copy (offsets, flat uint8 data) views of a binary/utf8 column.
+    Rejects nulls with a clear error — a null slot has equal offsets and
+    would otherwise masquerade as an empty (and thus corrupt-looking)
+    media value deep inside a decoder. Shared by all three media kernels
+    so validity/large-offset handling lives in one place."""
+    if arr.null_count:
+        raise ValueError(
+            f"media column contains {arr.null_count} null value(s); "
+            "filter or fill them before the media kernels"
+        )
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    raw = (
+        np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        if arr.buffers()[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    return offs, raw
+
+
 def _feature_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     for batch in batches:
         ids = batch.column("media_id").to_numpy(zero_copy_only=False)
         kinds = batch.column("kind").to_pylist()
         media = batch.column("media")
         # zero-copy view of the binary column: offsets + contiguous bytes
-        offs = np.frombuffer(media.buffers()[1], dtype=np.int32)[
-            media.offset : media.offset + len(media) + 1
-        ]
-        raw = (
-            np.frombuffer(media.buffers()[2], dtype=np.uint8)
-            if media.buffers()[2] is not None
-            else np.empty(0, np.uint8)
-        )
+        offs, raw = _binary_views(media)
         n = len(ids)
         feats = np.zeros((n, FEATURE_DIM), dtype=np.float32)
         lens = (offs[1:] - offs[:-1]).astype(np.int64)
@@ -300,14 +315,8 @@ def _decoded_feature_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Re
         # zero-copy memoryview slices of the binary column's contiguous
         # data buffer (same move as _feature_kernel) — no per-item as_py()
         # blob copies, so tiny media never pay a Python materialization
-        offs = np.frombuffer(media.buffers()[1], dtype=np.int32)[
-            media.offset : media.offset + len(media) + 1
-        ]
-        raw = (
-            memoryview(media.buffers()[2])
-            if media.buffers()[2] is not None
-            else memoryview(b"")
-        )
+        offs, raw_np = _binary_views(media)
+        raw = memoryview(raw_np)
         n = len(ids)
         lens = (offs[1:] - offs[:-1]).astype(np.int64)
         feats = np.zeros((n, FEATURE_DIM), dtype=np.float32)
@@ -405,7 +414,14 @@ def sample_audio(
     wave: np.ndarray, rate: int, start_ms: int, duration_ms: int
 ) -> np.ndarray:
     """Clip [start_ms, start_ms+duration_ms) of int16 [n, ch] audio —
-    the audio analogue of video frame-sampling."""
+    the audio analogue of video frame-sampling. Negative bounds are
+    rejected: Python's negative slicing would silently return audio from
+    the END of the clip (wrong data, no error)."""
+    if start_ms < 0 or duration_ms < 0:
+        raise ValueError(
+            f"start_ms/duration_ms must be non-negative "
+            f"({start_ms}, {duration_ms})"
+        )
     a = (start_ms * rate) // 1000
     b = a + (duration_ms * rate) // 1000
     return wave[a:b]
@@ -423,14 +439,8 @@ def _transform_kernel(width, height, start_ms, duration_ms):
             ids = batch.column("media_id").to_numpy(zero_copy_only=False)
             kinds = batch.column("kind").to_pylist()
             media = batch.column("media")
-            offs = np.frombuffer(media.buffers()[1], dtype=np.int32)[
-                media.offset : media.offset + len(media) + 1
-            ]
-            raw = (
-                memoryview(media.buffers()[2])
-                if media.buffers()[2] is not None
-                else memoryview(b"")
-            )
+            offs, raw_np = _binary_views(media)
+            raw = memoryview(raw_np)
             out: list[bytes] = []
             for i in range(len(ids)):  # one row = one whole image/clip
                 data = raw[int(offs[i]) : int(offs[i + 1])]

@@ -16,9 +16,10 @@ Semantics per micro-batch, per content digest:
   - TTL elapsed since last sighting: state expires, the digest's next
     occurrence is treated as new.
 
-State per digest is a single int64 (last-seen unix ms) — the minimum
-possible footprint. Grouping shuffles (digest) once per batch, identical
-to the batch exact_dedup plan.
+State per digest is a single int64 marker (the TTL clock itself lives in
+Spark's timeout machinery, not in the cell) — the minimum possible
+footprint. Grouping shuffles (digest) once per batch, identical to the
+batch exact_dedup plan.
 
 Reference analogue: the reference dedups nothing itself, but its streaming
 iterator contract (crates/copybook-codec/src/iterator.rs:259 — stream
@@ -32,7 +33,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType, StructField, StructType
 
-_STATE_SCHEMA = StructType([StructField("last_seen_ms", LongType())])
+_STATE_SCHEMA = StructType([StructField("seen", LongType())])
 
 
 def streaming_exact_dedup(
@@ -47,9 +48,13 @@ def streaming_exact_dedup(
     state_ttl_minutes = None keeps digests forever (exact, unbounded state
     like dropDuplicates); a value bounds state at the cost of re-admitting
     duplicates that recur after the TTL."""
+    if state_ttl_minutes is not None and state_ttl_minutes <= 0:
+        raise ValueError(
+            f"state_ttl_minutes must be positive or None, got {state_ttl_minutes}"
+        )
     out_schema = df.schema
     cols = df.columns
-    use_ttl = state_ttl_minutes is not None
+    use_ttl = bool(state_ttl_minutes)
     ttl_ms = (state_ttl_minutes or 0) * 60_000
 
     def dedup_fn(key, pdf_iter, state: GroupState):

@@ -381,21 +381,22 @@ from hypothesis import strategies as st
 
 
 @given(
-    bits=st.lists(st.integers(0, 2**32 - 1), min_size=0, max_size=400),
+    bits=st.lists(st.integers(0, 2**64 - 1), min_size=0, max_size=400),
     wide=st.booleans(),
 )
 @settings(max_examples=150, deadline=None)
 def test_float_section_roundtrip_property(bits, wide):
     # EVERY bit pattern — NaN payloads, ±inf, -0.0, denormals, random —
     # must survive the float lanes exactly (reference float type authority:
-    # never via decimal/rounding)
+    # never via decimal/rounding). Full independent 64-bit draws for the
+    # wide lane; the narrow lane masks to its 32-bit space.
     if wide:
-        vals = np.array(
-            [b | (b << 32) for b in bits], dtype=np.uint64
-        ).view(np.float64)
+        vals = np.array(bits, dtype=np.uint64).view(np.float64)
         etype = blob.ETYPE_FLOAT64
     else:
-        vals = np.array(bits, dtype=np.uint32).view(np.float32)
+        vals = np.array(
+            [b & 0xFFFFFFFF for b in bits], dtype=np.uint32
+        ).view(np.float32)
         etype = blob.ETYPE_FLOAT32
     enc = blob._encode_float_section(vals)
     dec = blob._decode_float_section(memoryview(enc), len(vals), etype)

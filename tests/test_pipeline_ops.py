@@ -693,3 +693,42 @@ def test_transform_media_resize_and_clip(spark):
     got_w, got_rate = decode_media(out[3][1], "audio")
     assert got_rate == 16000 and got_w.shape == (8000, 2)
     np.testing.assert_array_equal(got_w, wave[4000:12000])
+
+
+def test_media_kernels_reject_null_media(spark):
+    from copybook_rs_spark.operators.multimodal import (
+        extract_decoded_features,
+        extract_features,
+        transform_media,
+    )
+
+    from copybook_rs_spark.operators.multimodal import make_bmp
+
+    img = bytearray(make_bmp(np.zeros((4, 4, 3), dtype=np.uint8)))
+    df = spark.createDataFrame(
+        [(1, img, "image"), (2, None, "image")],
+        "media_id long, media binary, kind string",
+    )
+    for op in (extract_features, extract_decoded_features, transform_media):
+        with pytest.raises(Exception, match="null"):
+            op(df).collect()
+
+
+def test_sample_audio_rejects_negative_bounds():
+    from copybook_rs_spark.operators.multimodal import sample_audio
+
+    wave = np.zeros((100, 1), dtype=np.int16)
+    with pytest.raises(ValueError, match="non-negative"):
+        sample_audio(wave, 16000, -100, 500)
+    with pytest.raises(ValueError, match="non-negative"):
+        sample_audio(wave, 16000, 0, -1)
+
+
+def test_streaming_dedup_rejects_zero_ttl(spark):
+    from copybook_rs_spark.streaming import streaming_exact_dedup
+
+    df = spark.readStream.format("rate").load().selectExpr(
+        "value as doc_id", "cast(value as string) as text"
+    )
+    with pytest.raises(ValueError, match="positive"):
+        streaming_exact_dedup(df, state_ttl_minutes=0)

@@ -375,7 +375,9 @@ def test_streaming_exact_dedup_stateful(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        if not q.awaitTermination(120):
+            q.stop()  # never leave a live query holding the checkpoint
+            pytest.fail("streaming dedup trigger did not finish in 120 s")
 
     run_batch(
         [(5, "alpha"), (3, "alpha"), (9, "beta"), (1, "gamma"), (7, "beta")]
