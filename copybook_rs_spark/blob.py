@@ -772,13 +772,20 @@ def _encode_extras(
 
 
 def decode_extras(
-    blob_bytes: bytes | memoryview, n_rows: int
+    blob_bytes: bytes | memoryview,
+    n_rows: int,
+    names: "set[str] | None" = None,
 ) -> dict[str, tuple[str, np.ndarray, np.ndarray]]:
     """Decode the trailing extras section -> {name: (etype, lengths, values)}
     where etype is "int64"/"float32"/"float64"/"string" and values is an
     int64 / float32 / float64 / uint8-byte-stream array respectively.
     Empty dict when the blob has no extras. Raises typed CBSP* errors on
-    any corruption (own crc32 + per-column count checks)."""
+    any corruption (own crc32 + per-column count checks).
+
+    names=None decodes every column; a set pushes projection INTO the
+    section — skipped columns' payloads are walked (the section is
+    self-delimiting) but never decompressed. The section crc always
+    verifies regardless."""
     buf = memoryview(blob_bytes)
     if len(buf) < HEADER_LEN:
         raise TruncatedBlobError("blob shorter than header")
@@ -823,6 +830,9 @@ def decode_extras(
             raise TruncatedBlobError("extras values truncated")
         vbuf = body[off : off + pv_len]
         off += pv_len
+        if names is not None and name not in names:
+            continue  # projection: lengths were cheap, the values payload
+            # (the expensive part) stays untouched
         if len(lens) != n_rows:
             raise CountMismatchError(f"extras[{name}]: lengths count != n_rows")
         if n_rows and (lens < 0).any():

@@ -131,7 +131,13 @@ def _decode_one(
         blob_bytes, need_docs=need_docs, need_values=need_values
     )
     n = len(lengths)
-    extras = blob.decode_extras(blob_bytes, n) if extra_cols else {}
+    # projection pushes INTO the extras section: unrequested columns'
+    # payloads are walked but never decompressed
+    extras = (
+        blob.decode_extras(blob_bytes, n, names=set(extra_cols))
+        if extra_cols
+        else {}
+    )
     arrays = []
     for col in columns:
         if col in extra_cols:

@@ -408,3 +408,32 @@ def test_float_section_roundtrip_property(bits, wide):
             assert out.tobytes() == vals.tobytes()
         except EngineError as e:
             assert str(e).startswith("CBSP")
+
+
+def test_decode_extras_projection():
+    # names= pushes projection into the section: only requested payloads
+    # decode; the section crc still guards everything
+    rng = np.random.default_rng(9)
+    db = b"".join(f"p{i:03d}".encode() for i in range(30))
+    dl = np.full(30, 4, np.int64)
+    tl = rng.integers(0, 5, 30).astype(np.int64)
+    tv = rng.integers(0, 100, int(tl.sum())).astype(np.int64)
+    el = rng.integers(0, 4, 30).astype(np.int64)
+    ev = rng.integers(0, 10**6, int(el.sum())).astype(np.int64)
+    fl = rng.integers(0, 3, 30).astype(np.int64)
+    fv = rng.standard_normal(int(fl.sum())).astype(np.float32)
+    b, _ = blob.encode_chunk(
+        db, dl, tl, tv,
+        extras=[("aux", "int64", el, ev), ("emb", "float32", fl, fv)],
+    )
+    only = blob.decode_extras(b, 30, names={"emb"})
+    assert set(only) == {"emb"}
+    assert only["emb"][2].tobytes() == fv.tobytes()
+    both = blob.decode_extras(b, 30)
+    assert set(both) == {"aux", "emb"}
+    # a bit-flip inside the SKIPPED column's payload still trips the crc
+    plain, _ = blob.encode_chunk(db, dl, tl, tv)
+    bad = bytearray(b)
+    bad[len(plain) + 12] ^= 0x10
+    with pytest.raises(EngineError):
+        blob.decode_extras(bytes(bad), 30, names={"emb"})
