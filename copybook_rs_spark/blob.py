@@ -569,6 +569,15 @@ def _decode_values(
     mode = buf[0]
     body = buf[1:]
     if mode == 0:
+        if cert32:
+            # int32-native leaf path: a terminal bitpack of width <= 31
+            # decodes straight into the contract dtype — no uint64
+            # materialization, no downstream astype (values >= 0 and
+            # < 2**31 by construction, so the int32 view is exact; the
+            # caller's min/max cross-check still guards the header)
+            v32 = core.try_decode_u32(body)
+            if v32 is not None and (len(v32) == 0 or int(v32.max()) < (1 << 31)):
+                return v32.view(np.int32)
         return core.decode_array(body)
     if mode != 1:
         raise HeaderInvalidError(f"unknown values section mode {mode}")
@@ -578,7 +587,12 @@ def _decode_values(
     if len(body) < 4 + f_len:
         raise TruncatedBlobError("doc-aware firsts truncated")
     firsts = core.decode_array(body[4 : 4 + f_len])
-    intra_zz = core.decode_array(body[4 + f_len :])
+    # u32-native intra decode when the payload is a terminal bitpack
+    # (w <= 32 guarantees the 32-bit-lane eligibility below for free)
+    intra32 = core.try_decode_u32(body[4 + f_len :]) if cert32 else None
+    intra_zz = (
+        intra32 if intra32 is not None else core.decode_array(body[4 + f_len :])
+    )
     lens = np.ascontiguousarray(lengths, dtype=np.int64)
     n_docs = len(lens)
     starts = np.zeros(n_docs, dtype=np.int64)
@@ -593,7 +607,8 @@ def _decode_values(
     is_start = np.zeros(n_values, dtype=bool)
     is_start[ne_starts] = True
     if cert32 and (
-        len(intra_zz) == 0
+        intra32 is not None
+        or len(intra_zz) == 0
         or (int(intra_zz.min()) >= 0 and int(intra_zz.max()) < (1 << 32))
     ):
         # 32-bit lane (int32-range deltas can still zigzag up to 2**33-2;
@@ -602,14 +617,19 @@ def _decode_values(
         # work is exactly: zigzag, scatter, cumsum, one gather-add.
         d32 = np.zeros(n_values, dtype=np.uint32)
         if len(intra_zz):
-            zz32 = intra_zz.astype(np.uint32)
+            zz32 = (
+                intra_zz if intra_zz.dtype == np.uint32
+                else intra_zz.astype(np.uint32)
+            )
             d32[~is_start] = (zz32 >> np.uint32(1)) ^ -(zz32 & np.uint32(1))
         c32 = np.cumsum(d32, dtype=np.uint32)
         base32 = firsts.astype(np.uint32) - c32[ne_starts]  # per-doc, k-sized
         doc_of = np.repeat(np.arange(k, dtype=np.int32), lens[nonempty])
         out32 = c32 + base32[doc_of]
         return out32.view(np.int32)
-    intra = vi.zigzag_decode(intra_zz.view(np.uint64))
+    intra = vi.zigzag_decode(
+        np.ascontiguousarray(intra_zz, dtype=np.int64).view(np.uint64)
+    )
     d = np.zeros(n_values, dtype=np.uint64)
     d[~is_start] = intra.view(np.uint64)
     c = np.cumsum(d)  # modular prefix of within-doc deltas (0 at doc starts)

@@ -112,3 +112,44 @@ def unpack(buf: bytes | memoryview, n: int, width: int) -> np.ndarray:
         else:
             out |= hi.reshape(-1)[:n] << np.uint64(8 * k)
     return out
+
+
+def unpack32(buf: bytes | memoryview, n: int, width: int) -> np.ndarray:
+    """unpack() for width <= 32, emitting uint32 natively — half the
+    memory traffic of the uint64 path plus no downstream astype, which is
+    what the decode hot loop pays for on the bandwidth-bound box (values
+    are int32 by contract)."""
+    if width > 32:
+        raise ValueOverflowError(f"unpack32 width {width} > 32")
+    if n == 0:
+        return np.empty(0, dtype=np.uint32)
+    if width == 0:
+        return np.zeros(n, dtype=np.uint32)
+    need = packed_size(n, width)
+    if len(buf) < need:
+        raise TruncatedBlobError(
+            f"bitpack payload truncated: need {need} bytes, have {len(buf)}"
+        )
+    raw = np.frombuffer(buf, dtype=np.uint8, count=need)
+    k, r = divmod(width, 8)
+    out = np.zeros(n, dtype=np.uint32)
+    ov = out.view(np.uint8).reshape(n, 4) if _LE else None
+    for i in range(k):
+        if ov is not None:
+            ov[:, i] = raw[i * n : (i + 1) * n]
+        else:
+            out |= raw[i * n : (i + 1) * n].astype(np.uint32) << np.uint32(8 * i)
+    if r:
+        nb = (n + 7) // 8
+        tail = raw[k * n : k * n + nb * r].reshape(nb, r)
+        words = np.zeros((nb, 8), dtype=np.uint8)
+        words[:, :r] = tail
+        w64 = words.reshape(-1).view("<u8")
+        mask = np.uint64((1 << r) - 1)
+        shifts = np.uint64(r) * np.arange(8, dtype=np.uint64)
+        hi = (w64[:, None] >> shifts[None, :]) & mask
+        if ov is not None:
+            ov[:, k] = hi.astype(np.uint8).reshape(-1)[:n]
+        else:
+            out |= hi.reshape(-1)[:n].astype(np.uint32) << np.uint32(8 * k)
+    return out
