@@ -804,8 +804,11 @@ def decode_extras(
 
     names=None decodes every column; a set pushes projection INTO the
     section — skipped columns' payloads are walked (the section is
-    self-delimiting) but never decompressed. The section crc always
-    verifies regardless."""
+    self-delimiting) as pure pointer arithmetic, never decompressed. The
+    section crc ALWAYS verifies (bit-level corruption is caught for every
+    column), but skipped columns' count/negative-length validations do
+    not run — audit_chunks with the table's EncodeConfig remains the
+    full-validation surface."""
     buf = memoryview(blob_bytes)
     if len(buf) < HEADER_LEN:
         raise TruncatedBlobError("blob shorter than header")
@@ -842,7 +845,7 @@ def decode_extras(
         off += 4
         if len(body) < off + pl_len + 4:
             raise TruncatedBlobError("extras lengths truncated")
-        lens = core.decode_array(body[off : off + pl_len])
+        lbuf = body[off : off + pl_len]
         off += pl_len
         (pv_len,) = _U32.unpack_from(body, off)
         off += 4
@@ -851,8 +854,8 @@ def decode_extras(
         vbuf = body[off : off + pv_len]
         off += pv_len
         if names is not None and name not in names:
-            continue  # projection: lengths were cheap, the values payload
-            # (the expensive part) stays untouched
+            continue  # projection: nothing decompressed for skipped columns
+        lens = core.decode_array(lbuf)
         if len(lens) != n_rows:
             raise CountMismatchError(f"extras[{name}]: lengths count != n_rows")
         if n_rows and (lens < 0).any():

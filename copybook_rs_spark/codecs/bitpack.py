@@ -76,12 +76,14 @@ def pack(vals: np.ndarray, width: int) -> bytes:
     return b"".join(parts)
 
 
-def unpack(buf: bytes | memoryview, n: int, width: int) -> np.ndarray:
-    """Inverse of pack; returns uint64 array of length n."""
+def _unpack_impl(buf, n: int, width: int, dtype, nbytes: int) -> np.ndarray:
+    """Shared byte-plane unpack into `dtype` (uint64 or uint32): full byte
+    planes land in the output's own byte lanes (LE fast path) and the
+    sub-byte tail plane extracts 8 values per block with one broadcast."""
     if n == 0:
-        return np.empty(0, dtype=np.uint64)
+        return np.empty(0, dtype=dtype)
     if width == 0:
-        return np.zeros(n, dtype=np.uint64)
+        return np.zeros(n, dtype=dtype)
     need = packed_size(n, width)
     if len(buf) < need:
         raise TruncatedBlobError(
@@ -89,13 +91,13 @@ def unpack(buf: bytes | memoryview, n: int, width: int) -> np.ndarray:
         )
     raw = np.frombuffer(buf, dtype=np.uint8, count=need)
     k, r = divmod(width, 8)
-    out = np.zeros(n, dtype=np.uint64)
-    ov = out.view(np.uint8).reshape(n, 8) if _LE else None
+    out = np.zeros(n, dtype=dtype)
+    ov = out.view(np.uint8).reshape(n, nbytes) if _LE else None
     for i in range(k):
         if ov is not None:
             ov[:, i] = raw[i * n : (i + 1) * n]
         else:
-            out |= raw[i * n : (i + 1) * n].astype(np.uint64) << np.uint64(8 * i)
+            out |= raw[i * n : (i + 1) * n].astype(dtype) << dtype(8 * i)
     if r:
         nb = (n + 7) // 8
         tail = raw[k * n : k * n + nb * r].reshape(nb, r)
@@ -110,8 +112,13 @@ def unpack(buf: bytes | memoryview, n: int, width: int) -> np.ndarray:
             # r < 8 so each lane fits one byte: write straight into byte k
             ov[:, k] = hi.astype(np.uint8).reshape(-1)[:n]
         else:
-            out |= hi.reshape(-1)[:n] << np.uint64(8 * k)
+            out |= hi.reshape(-1)[:n].astype(dtype) << dtype(8 * k)
     return out
+
+
+def unpack(buf: bytes | memoryview, n: int, width: int) -> np.ndarray:
+    """Inverse of pack; returns uint64 array of length n."""
+    return _unpack_impl(buf, n, width, np.uint64, 8)
 
 
 def unpack32(buf: bytes | memoryview, n: int, width: int) -> np.ndarray:
@@ -121,35 +128,4 @@ def unpack32(buf: bytes | memoryview, n: int, width: int) -> np.ndarray:
     are int32 by contract)."""
     if width > 32:
         raise ValueOverflowError(f"unpack32 width {width} > 32")
-    if n == 0:
-        return np.empty(0, dtype=np.uint32)
-    if width == 0:
-        return np.zeros(n, dtype=np.uint32)
-    need = packed_size(n, width)
-    if len(buf) < need:
-        raise TruncatedBlobError(
-            f"bitpack payload truncated: need {need} bytes, have {len(buf)}"
-        )
-    raw = np.frombuffer(buf, dtype=np.uint8, count=need)
-    k, r = divmod(width, 8)
-    out = np.zeros(n, dtype=np.uint32)
-    ov = out.view(np.uint8).reshape(n, 4) if _LE else None
-    for i in range(k):
-        if ov is not None:
-            ov[:, i] = raw[i * n : (i + 1) * n]
-        else:
-            out |= raw[i * n : (i + 1) * n].astype(np.uint32) << np.uint32(8 * i)
-    if r:
-        nb = (n + 7) // 8
-        tail = raw[k * n : k * n + nb * r].reshape(nb, r)
-        words = np.zeros((nb, 8), dtype=np.uint8)
-        words[:, :r] = tail
-        w64 = words.reshape(-1).view("<u8")
-        mask = np.uint64((1 << r) - 1)
-        shifts = np.uint64(r) * np.arange(8, dtype=np.uint64)
-        hi = (w64[:, None] >> shifts[None, :]) & mask
-        if ov is not None:
-            ov[:, k] = hi.astype(np.uint8).reshape(-1)[:n]
-        else:
-            out |= hi.reshape(-1)[:n].astype(np.uint32) << np.uint32(8 * k)
-    return out
+    return _unpack_impl(buf, n, width, np.uint32, 4)
