@@ -283,6 +283,16 @@ def connected_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         labels = nxt.select("node", "label")
         if changed == 0:
             break
+    else:
+        # pointer doubling converges in O(log diameter) rounds — max_iter=30
+        # covers diameters up to ~2^30; hitting it without a fixpoint means
+        # something is deeply wrong, and partial labels would silently break
+        # the min-representative contract downstream
+        from copybook_rs_spark.errors import PipelineContractError
+
+        raise PipelineContractError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
