@@ -163,10 +163,15 @@ class ChunkStats:
         # "uniformly wide deltas" (delta can't win) from "small deltas +
         # a few outlier jumps" (delta+pfor territory). The max(1, ...)
         # keeps the exclusion meaningful at small n, where a plain p99
-        # degenerates to the max and re-includes the outlier.
-        if n > 2:
+        # degenerates to the max and re-includes the outlier. Computed
+        # only when the delta gate's run-density precondition holds (0
+        # disables the gate, which would not have fired anyway) — skips a
+        # partition pass per analyze on delta-friendly streams.
+        if n > 2 and n_delta_runs > max(n // 2, 4):
             k = len(zz_rest) - 1 - max(1, len(zz_rest) // 100)
             zz_p99 = int(np.partition(zz_rest, k)[k]) if k >= 0 else 0
+        elif n > 2:
+            zz_p99 = 0
         else:
             zz_p99 = max_zz
         return cls(
