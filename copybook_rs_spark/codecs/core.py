@@ -469,32 +469,82 @@ def _encode_named(name: str, v: np.ndarray, stats: ChunkStats | None, depth: int
     raise UnknownCodecError(f"unknown codec {name!r}")
 
 
-def _delta_floor(v: np.ndarray) -> int:
-    """Optimistic (never above achievable) size estimate for the delta
-    candidate, from the zigzag-delta bit-width histogram: the best of a
-    terminal bitpack at full width and, per pfor width w, packed(n, w) +
-    packed(n_exceptions, top_width - w) with all framing/gap costs dropped.
-    Used only to CONFIRM the run-free-wide-delta skip — if this floor could
-    beat the current best, the full delta cascade still runs."""
+_DELTA_GATE_SAMPLE = 4096
+
+
+def _delta_skip_confirmed(v: np.ndarray, best_len: int, depth: int) -> bool:
+    """Confirm the run-free-wide-delta skip: build the EXACT zigzag stream
+    `_encode_delta` would hand to the sub-cascade and certify, with checks
+    that mirror the sub-cascade's own gates plus two independent optimistic
+    size estimates, that the delta candidate cannot beat `best_len`.
+
+    Layers (any one failing -> no skip, the full delta cascade runs):
+      1. zz sorted, run-dense, or near-majority mode -> the sub-cascade's
+         rle/patch branches stay in play (they can reach O(1) bytes on such
+         streams, so no closed-form floor is sound) -> never skip. The mode
+         check is EXACT (max run in sorted zz), matching the sub-cascade's
+         own patch gate on the same stream — this closes the round-3 ADVICE
+         hole where a two-value oscillating delta stream (patch O(1)) was
+         skipped at a measured 385x size cost.
+      2. Width-frontier floor over SORTED zz with min-subtraction: best of
+         direct bitpack, FOR(+bitpack), and every pfor split w with the
+         exception high-bits themselves FOR-packed (gap streams taken as
+         free). Min-subtraction matters: zigzag maps cancelling +/- deltas
+         to ADJACENT codes, so run-free oscillations become a narrow
+         re-referenced band the old absolute-width histogram priced at full
+         magnitude.
+      3. Prefix-sample real encode (the FSST-gate pattern): the actual
+         sub-cascade on zz[:4096], linearly extrapolated. Catches global
+         structure no closed form models — delta-of-delta, structured
+         exception values. Skip only if BOTH estimates are >= best_len.
+
+    Remaining escape: structure confined to the stream's suffix (regime
+    change past the sample) that also defeats every exact check above —
+    a deliberate heuristic residue, same stance as the rle/dict gates.
+    Deterministic: a pure function of the data. Costs ~one sort + a
+    4096-value encode vs the full try's analyze + recursive try-encodes."""
     n = len(v)
-    if n < 2:
-        return 0
+    if n <= _DELTA_GATE_SAMPLE:
+        return False  # sample == whole stream: gate saves nothing
     vu = np.ascontiguousarray(v, dtype=np.int64).view(np.uint64)
-    zz = vi.zigzag_encode((vu[1:] - vu[:-1]).view(np.int64)).view(np.uint64)
-    bounds = (np.uint64(1) << np.arange(1, 64, dtype=np.uint64)).astype(np.uint64)
-    w = np.searchsorted(bounds, zz, side="right") + 1
-    top = int(w.max())
-    counts = np.bincount(w, minlength=top + 1)
-    cum = np.cumsum(counts)  # cum[k] = # deltas with width <= k
-    best = 6 + bp.packed_size(n - 1, top)
-    for ww in range(1, top):
-        n_exc = int(n - 1 - cum[ww])
-        cand = 17 + bp.packed_size(n - 1, ww) + bp.packed_size(n_exc, top - ww)
-        if cand < best:
-            best = cand
-    # delta framing is codec byte + u32 count = 5 bytes (_encode_delta) —
-    # the floor must never exceed the achievable size
-    return 1 + 4 + best
+    d = np.empty(n, dtype=np.uint64)
+    d[0] = vu[0]
+    np.subtract(vu[1:], vu[:-1], out=d[1:])  # modular, as _encode_delta
+    zz = vi.zigzag_encode(d.view(np.int64)).view(np.uint64)
+    # --- layer 1: sub-cascade rle/patch branches must be provably closed
+    if bool((zz[1:] >= zz[:-1]).all()):
+        return False  # sorted zz: rle/delta-friendly downstream
+    if np.count_nonzero(zz[1:] != zz[:-1]) + 1 <= max(n // 2, 4):
+        return False  # run-dense zz: rle stays in play
+    szz = np.sort(zz)
+    brk = np.flatnonzero(szz[1:] != szz[:-1])
+    run_bounds = np.concatenate(([-1], brk, [n - 1]))
+    mode_count = int(np.diff(run_bounds).max())
+    if n - mode_count <= max(n // 2, 4):
+        return False  # near-majority: sub-cascade patch can reach O(1)
+    # --- layer 2: width-frontier floor (min-referenced, sorted residuals)
+    resid = szz - szz[0]
+    widths = np.searchsorted(_POW2[:64], resid, side="right")  # ascending
+    top = int(widths[-1])
+    if top == 0:
+        return False
+    floor = 6 + bp.packed_size(n, int(np.searchsorted(_POW2[:64], szz[-1], "right")))
+    floor = min(floor, 13 + 6 + bp.packed_size(n, top))
+    for w in range(1, top):
+        k = n - int(np.searchsorted(widths, w, side="right"))
+        if k == 0:
+            continue
+        w_exc = bp.bit_width((int(resid[-1]) >> w) - (int(resid[n - k]) >> w))
+        floor = min(floor, 18 + bp.packed_size(n, w) + bp.packed_size(k, w_exc))
+    if 5 + floor < best_len:
+        return False
+    # --- layer 3: prefix-sample real sub-cascade, extrapolated
+    sub, _ = encode_array(
+        zz[:_DELTA_GATE_SAMPLE].view(np.int64), codec="auto", depth=depth + 1
+    )
+    if 5 + len(sub) * (n / _DELTA_GATE_SAMPLE) < best_len:
+        return False
+    return True
 
 
 def encode_array(
@@ -563,16 +613,14 @@ def encode_array(
             stats.n_delta_runs > max(stats.n // 2, 4)
             and 0 < stats.zz_delta_p99
             and stats.zz_delta_p99 >= stats.vmax - stats.vmin
-        ) and _delta_floor(v) >= len(best):
+        ) and _delta_skip_confirmed(v, len(best), depth):
             continue  # a run-free delta stream whose typical (p99) width
             # already covers the value range usually offers the cascade
-            # nothing — but delta+pfor can still shave a few bits via
-            # re-referencing (e.g. float64 bit patterns with clustered
-            # exponents), so the skip is confirmed by _delta_floor: an
-            # OPTIMISTIC closed-form size from the zigzag-width histogram.
-            # A skip therefore never discards a winning candidate the
-            # floor can see; the floor costs one zigzag + histogram pass
-            # (~1/10 of the full try: zigzag + a depth+1 cascade).
+            # nothing; _delta_skip_confirmed certifies that with exact
+            # mirrors of the sub-cascade's rle/patch gates plus TWO
+            # optimistic estimates (min-referenced width frontier AND a
+            # prefix-sample real encode) — see its docstring for the one
+            # documented heuristic residue (suffix-only structure).
         if name == "patch" and (
             stats.mode_count == 0  # mode unknown (shallow stats): skip
             or stats.n - stats.mode_count > max(stats.n // 2, 4)

@@ -80,12 +80,7 @@ def _build_schemas(cfg, cols: tuple[str, ...]):
 
     tok64 = cfg is not None and cfg.token_dtype == "int64"
     specs = dict(cfg.extra_specs()) if cfg is not None else {}
-    extra_pa = {
-        "int64": pa.list_(pa.int64()),
-        "float32": pa.list_(pa.float32()),
-        "float64": pa.list_(pa.float64()),
-        "string": pa.string(),
-    }
+    extra_pa = _EXTRA_PA_TYPES
     extra_sp = {
         "int64": ArrayType(LongType(), False),
         "float32": ArrayType(FloatType(), False),
@@ -117,6 +112,32 @@ def _build_schemas(cfg, cols: tuple[str, ...]):
     return pa.schema(pa_fields), StructType(sp_fields)
 
 
+_EXTRA_PA_TYPES = {
+    "int64": pa.list_(pa.int64()),
+    "float32": pa.list_(pa.float32()),
+    "float64": pa.list_(pa.float64()),
+    "string": pa.string(),
+}
+
+
+def _offsets32(lens: np.ndarray, n: int, what: str) -> np.ndarray:
+    """int32 Arrow offsets from per-row lengths, with an overflow guard:
+    a chunk whose column totals >= 2^31 elements/bytes would silently wrap
+    the int32 offsets and emit a corrupt array — invariant 3 demands a
+    typed error instead (chunk cuts keep whole documents, so one oversized
+    document can legally exceed the weight budget)."""
+    total = int(lens.sum()) if n else 0  # numpy promotes to int64
+    if total >= 1 << 31:
+        raise EngineError(
+            f"{what} totals {total} elements in one chunk — exceeds the "
+            "2^31 Arrow int32 offset limit",
+            code="CBSP203",
+        )
+    off = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lens, out=off[1:])
+    return off
+
+
 def _decode_one(
     blob_bytes: bytes,
     source: str,
@@ -146,8 +167,17 @@ def _decode_one(
                     f"blob carries no extra column {col!r}", code="CBSP203"
                 )
             etype, el, ev = extras[col]
-            ex_off = np.zeros(n + 1, dtype=np.int32)
-            np.cumsum(el, out=ex_off[1:])
+            # the blob self-describes its element type; decoding under a
+            # config that declares a DIFFERENT type for this column is a
+            # caller error that must surface as a typed mismatch, not a raw
+            # pyarrow ArrowInvalid from from_arrays
+            if not out_schema.field(col).type.equals(_EXTRA_PA_TYPES[etype]):
+                raise EngineError(
+                    f"extra column {col!r} is {etype!r} in the blob but the "
+                    f"decode config declares {out_schema.field(col).type}",
+                    code="CBSP203",
+                )
+            ex_off = _offsets32(el, n, f"extra column {col!r}")
             if etype == "string":
                 arrays.append(
                     pa.StringArray.from_buffers(
@@ -170,8 +200,7 @@ def _decode_one(
                 )
         elif col == "doc_id":
             # StringArray straight from (offsets, bytes) — no per-row Python
-            doc_offsets = np.zeros(n + 1, dtype=np.int32)
-            np.cumsum(doc_lens, out=doc_offsets[1:])
+            doc_offsets = _offsets32(doc_lens, n, "doc_id bytes")
             arrays.append(
                 pa.StringArray.from_buffers(
                     n,
@@ -193,8 +222,7 @@ def _decode_one(
                     raise ValueOverflowError("decoded token outside int32 range")
                 vals_out = values.astype(np.int32)
                 out_t = pa.int32()
-            tok_offsets = np.zeros(n + 1, dtype=np.int32)
-            np.cumsum(lengths, out=tok_offsets[1:])
+            tok_offsets = _offsets32(lengths, n, "token values")
             arrays.append(
                 pa.ListArray.from_arrays(
                     pa.array(tok_offsets),

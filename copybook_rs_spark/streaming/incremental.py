@@ -46,17 +46,28 @@ _RAW_PREFIX = "batch=b"
 _CONS_PREFIX = "batch=c~b"  # consolidated part covering every batch <= id
 
 
-def _live_part_dirs(root: str) -> list[str]:
+def _live_part_dirs(spark: SparkSession, root: str) -> list[str]:
     """Manifest-part directories a reader should load: the newest
     consolidated part (if any) plus every raw batch dir NEWER than its
     cover. Anything the live cover supersedes — older consolidated parts,
     raw dirs already folded — is ignored even if still on disk, so a crash
     between the consolidated write and the old-dir cleanup can never be
     read as duplicates (the same supersede-at-read stance as the
-    idempotent batch=... overwrite commits)."""
-    if not os.path.isdir(root):
+    idempotent batch=... overwrite commits).
+
+    Listed through the Hadoop FileSystem API so the streaming sink works on
+    any Spark filesystem (HDFS / object stores), the same portability
+    stance as decode's _publish_staging — a driver-local os.listdir would
+    see nothing there."""
+    from copybook_rs_spark.operators.decode import _hadoop_path
+
+    fs, p = _hadoop_path(spark, root)
+    if not fs.exists(p):
         return []
-    names = sorted(os.listdir(root))
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    names = sorted(
+        s.getPath().getName() for s in fs.listStatus(p) if s.isDirectory()
+    )
     # a consolidated dir is only trusted once its _SUCCESS marker exists: a
     # crash MID-write leaves a partial dir that must not become the live
     # cover (it would shadow the raw dirs that still hold the real rows)
@@ -64,7 +75,7 @@ def _live_part_dirs(root: str) -> list[str]:
         n[len(_CONS_PREFIX) :]
         for n in names
         if n.startswith(_CONS_PREFIX)
-        and os.path.exists(os.path.join(root, n, "_SUCCESS"))
+        and fs.exists(jpath(os.path.join(root, n, "_SUCCESS")))
     ]
     live_cover = max(covers, default=None)  # zero-padded ids sort lexically
     out = []
@@ -82,7 +93,7 @@ def read_manifest_parts(spark: SparkSession, out_dir: str) -> DataFrame:
     """All LIVE manifest-part rows (see _live_part_dirs)."""
     from copybook_rs_spark.errors import PipelineContractError
 
-    dirs = _live_part_dirs(os.path.join(out_dir, "manifest_parts"))
+    dirs = _live_part_dirs(spark, os.path.join(out_dir, "manifest_parts"))
     if not dirs:
         raise PipelineContractError(
             f"no live manifest parts under {out_dir!r} — nothing committed "
@@ -101,8 +112,10 @@ def compact_manifest_parts(
     row-union — merge_manifest_parts stays the single aggregation point, so
     the merged manifest is invariant under compaction. Returns the number
     of raw batch dirs folded (0 = nothing to do)."""
+    from copybook_rs_spark.operators.decode import _hadoop_path
+
     root = os.path.join(out_dir, "manifest_parts")
-    live = _live_part_dirs(root)
+    live = _live_part_dirs(spark, root)
     raw = [d for d in live if os.path.basename(d).startswith(_RAW_PREFIX)]
     fold_raw = raw[: -keep_last if keep_last else None] if keep_last else raw
     if not fold_raw:
@@ -114,19 +127,23 @@ def compact_manifest_parts(
     spark.read.parquet(*(cons + fold_raw)).coalesce(1).write.mode(
         "overwrite"
     ).parquet(target)
-    import shutil
-
-    # best-effort cleanup: the folded raw dirs, the superseded consolidated
-    # dir, and any partial consolidated leftovers from a crashed earlier
-    # compaction (they have no _SUCCESS, so readers already ignore them)
+    # best-effort cleanup through the Hadoop FS (any filesystem): the
+    # folded raw dirs, the superseded consolidated dir, and any partial
+    # consolidated leftovers from a crashed earlier compaction (they have
+    # no _SUCCESS, so readers already ignore them)
+    fs, p = _hadoop_path(spark, root)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
     stale_cons = [
-        os.path.join(root, n)
-        for n in os.listdir(root)
-        if n.startswith(_CONS_PREFIX)
+        os.path.join(root, s.getPath().getName())
+        for s in fs.listStatus(p)
+        if s.isDirectory() and s.getPath().getName().startswith(_CONS_PREFIX)
     ]
     for d in set(cons + fold_raw + stale_cons):
-        if os.path.abspath(d) != os.path.abspath(target):
-            shutil.rmtree(d, ignore_errors=True)
+        if d != target:
+            try:
+                fs.delete(jpath(d), True)
+            except Exception:
+                pass  # cleanup only; supersede-at-read keeps correctness
     return len(fold_raw)
 
 

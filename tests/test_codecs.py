@@ -318,3 +318,55 @@ def test_selection_gates_never_cost_much():
         if name in exact:  # the gate-targeted shapes must lose NOTHING
             assert len(auto) <= best_named, (name, used, len(auto), best_named)
         assert len(auto) <= best_named * 1.25 + 64, (name, used, len(auto), best_named)
+
+
+def test_delta_skip_gate_sees_structured_zigzag_streams():
+    # round-3 ADVICE (medium): the old _delta_floor only modeled
+    # bitpack/pfor layouts of the zigzag stream at ABSOLUTE widths, so a
+    # run-free low-cardinality delta stream (two-level oscillation with
+    # drift) was skipped while delta would have won 385x. The rebuilt gate
+    # must keep the delta candidate in play on every such shape.
+    n = 10000
+    i = np.arange(n, dtype=np.int64)
+    adversarial = {
+        # the measured ADVICE example: deltas alternate +-2^39 around +1
+        "oscillation_drift": i + (i % 2) * 2**39,
+        # period-3 cancelling pattern: zz has a 2/3-majority mode ->
+        # sub-cascade patch reaches O(1)
+        "periodic_3": np.cumsum(np.tile(
+            np.array([2**39, 2**39, -(2**40)], dtype=np.int64), n // 3)),
+        # alternating-sign growing deltas: zz is near-arithmetic ->
+        # delta-of-delta (depth-1 delta) wins; only the sample layer sees it
+        "alt_sign_growing": np.cumsum(
+            np.where(i % 2 == 0, 1, -1) * (i * 2**19 + 1)),
+        # deltas in two tight magnitude clusters of both signs: zz is a
+        # narrow band after min-referencing (layer-2 territory)
+        "two_cluster": np.cumsum(
+            np.where(i % 2 == 0, 2**39 + (i % 7), -(2**39) - ((i + 3) % 5))),
+    }
+    for name, v in adversarial.items():
+        v = np.ascontiguousarray(v, dtype=np.int64)
+        auto, used = core.encode_array(v, codec="auto")
+        np.testing.assert_array_equal(core.decode_array(auto), v)
+        delta_direct = core.encode_array(v, codec="delta")[0]
+        assert len(auto) <= len(delta_direct), (
+            name, used, len(auto), len(delta_direct))
+    # sanity on the headline case: delta is a HUGE win and auto takes it
+    v = adversarial["oscillation_drift"]
+    assert len(core.encode_array(v, codec="auto")[0]) < 1000
+
+
+def test_delta_skip_gate_still_fires_on_high_entropy():
+    # the gate's home turf: wide run-free deltas with no structure — the
+    # skip must confirm (this is the 4x-auto speedup case) and auto must
+    # still match the best named codec exactly
+    rng = np.random.default_rng(11)
+    v = rng.integers(0, 2**31, 64000).astype(np.int64)
+    stats = core.ChunkStats.analyze(v)
+    assert stats.n_delta_runs > max(stats.n // 2, 4)
+    assert stats.zz_delta_p99 >= stats.vmax - stats.vmin
+    best = core.encode_array(v, codec="bitpack")[0]
+    assert core._delta_skip_confirmed(v, len(best), 0)
+    auto, used = core.encode_array(v, codec="auto")
+    np.testing.assert_array_equal(core.decode_array(auto), v)
+    assert len(auto) <= len(best)

@@ -594,3 +594,34 @@ def test_extra_columns_validation():
 def test_extra_columns_trailing_colon_rejected():
     with pytest.raises(ValueError, match="empty type"):
         EncodeConfig(extra_columns=("emb:",))
+
+
+def test_decode_with_mismatched_extra_type_raises_typed_error(spark):
+    # the blob self-describes its extra element type; decoding under a
+    # config that declares a different type must raise a typed CBSP203,
+    # not a raw pyarrow ArrowInvalid (round-3 ADVICE)
+    rows = [(f"m_{i:03d}", [1, 2, 3], 3, "web", [0.5 * i, -1.5]) for i in range(40)]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, tokens array<int>, n_tok int, source string, emb array<float>",
+    )
+    cfg = EncodeConfig(extra_columns=("emb:float32",), chunk_values=64,
+                       target_values_per_part=256, shuffle_partitions=2)
+    chunks = encode_tokens(df, cfg).cache()
+    wrong = EncodeConfig(extra_columns=("emb:int64",), chunk_values=64,
+                         target_values_per_part=256, shuffle_partitions=2)
+    with pytest.raises(Exception, match="CBSP203"):
+        decode_tokens(chunks, cfg=wrong).collect()
+
+
+def test_offsets32_overflow_guard():
+    # lengths whose total crosses 2^31 must raise a typed error, never wrap
+    # the int32 Arrow offsets into corrupt output (round-3 ADVICE)
+    from copybook_rs_spark.errors import EngineError
+    from copybook_rs_spark.operators.decode import _offsets32
+
+    ok = _offsets32(np.array([3, 0, 5], dtype=np.int64), 3, "x")
+    assert ok.tolist() == [0, 3, 3, 8] and ok.dtype == np.int32
+    big = np.array([2**30, 2**30, 2**30], dtype=np.int64)
+    with pytest.raises(EngineError, match="2\\^31"):
+        _offsets32(big, 3, "extra column 'aux'")

@@ -278,7 +278,7 @@ def test_manifest_part_compaction_bounds_and_preserves(spark, tmp_path):
         commit_batch(chunk_df, out_dir, b)
         if b % 3 == 2:
             compact_manifest_parts(spark, out_dir, keep_last=3)
-            live = _live_part_dirs(os.path.join(out_dir, "manifest_parts"))
+            live = _live_part_dirs(spark, os.path.join(out_dir, "manifest_parts"))
             assert len(live) <= 3 + 1, live
     # compaction is idempotent (re-run folds nothing new beyond keep_last)
     compact_manifest_parts(spark, out_dir, keep_last=3)
@@ -294,7 +294,7 @@ def test_manifest_part_compaction_bounds_and_preserves(spark, tmp_path):
     root = os.path.join(out_dir, "manifest_parts")
     stale = os.path.join(root, "batch=b00000000")
     mani.build_manifest(chunks.limit(5)).write.mode("overwrite").parquet(stale)
-    live = _live_part_dirs(root)
+    live = _live_part_dirs(spark, root)
     assert stale not in live
     again = mani.merge_manifest_parts(read_manifest_parts(spark, out_dir))
     assert again.exceptAll(full).count() == 0 and full.exceptAll(again).count() == 0
@@ -321,7 +321,7 @@ def test_partial_consolidated_dir_is_not_live(spark, tmp_path):
     root = os.path.join(out_dir, "manifest_parts")
     partial = os.path.join(root, "batch=c~b00000099")
     os.makedirs(partial)  # simulated crashed write: no _SUCCESS, no data
-    live = _live_part_dirs(root)
+    live = _live_part_dirs(spark, root)
     assert partial not in live and len(live) == 1
     m = mani.merge_manifest_parts(read_manifest_parts(spark, out_dir))
     assert m.agg(F.sum("n_docs")).collect()[0][0] == df.count()
