@@ -418,6 +418,40 @@ def _q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decimal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # decimal(p,s) extra column (the reference's zoned/packed-decimal type
+    # authority: crates/copybook-arrow/src/schema_convert.rs:129-140 maps
+    # decimals to Decimal128(p,s); crates/copybook-codec/src/numeric.rs:397
+    # SmallDecimal keeps an int64 unscaled + scale IR, never via float).
+    # The engine stores the unscaled int64 through the int payload grammar;
+    # this derives an exact decimal from n_chars (scale-2 cents, negatives
+    # included), encodes, decodes, and aggregates the DECODED values.
+    from copybook_rs_spark.operators import decode_tokens
+
+    cfg = EncodeConfig(
+        extra_columns=("price:decimal(12,2)",), chunk_values=16384,
+        target_values_per_part=131_072,
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = docs.selectExpr(
+        "format_string('d%08d', doc_id) as doc_id",
+        "array(cast(n_chars as int)) as tokens",
+        "cast(1 as int) as n_tok",
+        "source",
+        # exact at scale 2: (n_chars*7 - 3000) cents — the *0.01 product is
+        # decimal-exact (scale 2+2=4, trailing zeros), cast back is lossless
+        "CAST(CAST(n_chars * 7 - 3000 AS DECIMAL(16,2))"
+        " * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(12,2)) as price",
+    )
+    dec = decode_tokens(encode_tokens(df, cfg), cfg=cfg)
+    return dec.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("price").cast("decimal(38,2)").alias("price_sum"),
+        F.min("price").alias("price_min"),
+        F.max("price").alias("price_max"),
+    )
+
+
 def _q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-dup clustering end to end: LSH candidates -> exact-Jaccard
     # verify -> connected components (min-label propagation,
@@ -567,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_report": _q_audit_report,
         "int64_roundtrip": _q_int64_roundtrip,
         "extras_roundtrip": _q_extras_roundtrip,
+        "decimal_roundtrip": _q_decimal_roundtrip,
         "embeddings_roundtrip": _q_embeddings_roundtrip,
         "text_roundtrip": _q_text_roundtrip,
         "stats_minmax": _q_stats_minmax,
@@ -663,6 +698,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(list_sum({_TOK64_DUCK})) AS BIGINT) AS aux_sum
             FROM lineitem
             GROUP BY l_returnflag
+        """,
+        "decimal_roundtrip": """
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(price) AS DECIMAL(38,2)) AS price_sum,
+                   min(price) AS price_min,
+                   max(price) AS price_max
+            FROM (
+              SELECT source,
+                     CAST(CAST(n_chars * 7 - 3000 AS DECIMAL(16,2))
+                          * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(12,2))
+                       AS price
+              FROM documents
+            )
+            GROUP BY source
         """,
         "dedup_near": text_sql.dedup_near_oracle_sql(),
         "embedding_dedup": text_sql.embedding_dedup_oracle_sql(),

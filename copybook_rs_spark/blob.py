@@ -88,6 +88,7 @@ from copybook_rs_spark.errors import (
     HeaderInvalidError,
     PayloadCorruptError,
     TruncatedBlobError,
+    ValueOverflowError,
 )
 
 MAGIC = b"CBS1"
@@ -646,6 +647,7 @@ ETYPE_INT64 = 0
 ETYPE_FLOAT32 = 1
 ETYPE_FLOAT64 = 2
 ETYPE_STRING = 3
+ETYPE_DECIMAL = 4  # unscaled int64 + (precision, scale) header bytes
 ETYPE_IDS = {
     "int64": ETYPE_INT64,
     "float32": ETYPE_FLOAT32,
@@ -743,7 +745,7 @@ def _encode_extras(
     single-column blobs are unchanged):
 
       extra := crc32:u32 n_extra:u8 then per column:
-               name_len:u8 name etype:u8
+               name_len:u8 name etype:u8 [precision:u8 scale:u8 if etype=4]
                lens_len:u32 lens-payload vals_len:u32 vals-section
       etype/vals-section:
         0 int64 array   -> int payload
@@ -752,21 +754,38 @@ def _encode_extras(
         3 utf8 string   -> byte-stream section (raw/alphabet-pack/FSST,
                            same grammar as the doc-id suffix stream);
                            lens are per-ROW byte lengths
+        4 decimal(p,s)  -> int payload of UNSCALED int64 values ("never via
+                           float" — the reference's SmallDecimal stance,
+                           crates/copybook-codec/src/numeric.rs:397); the
+                           column is scalar, so lens are all 1
     Each column has its OWN per-document lengths (columns need not align),
     validated against n_rows at decode.
 
     fsst_cache: {name: tables|[]|None} — per-STRING-column FSST reuse, the
     same group-level contract as _encode_doc_bytes's cached_tables. Returns
     (section bytes, {name: tables_used}) so the caller can cache."""
+    from copybook_rs_spark.config import decimal_params
+
     parts = [bytes([len(extras)])]
     tables_out: dict = {}
     for name, etype_name, lens, vals in extras:
         nb = name.encode()
         if len(nb) > 255:
             raise HeaderInvalidError(f"extra column name too long: {name!r}")
-        etype = ETYPE_IDS[etype_name]
+        dp = decimal_params(etype_name)
+        etype = ETYPE_DECIMAL if dp is not None else ETYPE_IDS[etype_name]
         pl, _ = core.encode_array(lens, codec="auto", depth=1)
-        if etype == ETYPE_INT64:
+        if etype == ETYPE_INT64 or dp is not None:
+            if dp is not None and len(vals):
+                lim = 10 ** dp[0]
+                v64 = np.ascontiguousarray(vals, dtype=np.int64)
+                if ((v64 >= lim) | (v64 <= -lim)).any():
+                    # refuse to write a blob its own decoder would reject
+                    raise ValueOverflowError(
+                        f"extras[{name}]: unscaled value exceeds "
+                        f"decimal({dp[0]},{dp[1]}) precision"
+                    )
+            # decimal rides the int payload grammar on its unscaled int64s
             pv, _ = core.encode_array(vals, codec="auto")
         elif etype in _FLOAT_DTYPES:
             pv = _encode_float_section(vals)
@@ -780,7 +799,7 @@ def _encode_extras(
             (
                 bytes([len(nb)]),
                 nb,
-                bytes([etype]),
+                bytes([etype]) + (bytes(dp) if dp is not None else b""),
                 _U32.pack(len(pl)),
                 pl,
                 _U32.pack(len(pv)),
@@ -797,8 +816,9 @@ def decode_extras(
     names: "set[str] | None" = None,
 ) -> dict[str, tuple[str, np.ndarray, np.ndarray]]:
     """Decode the trailing extras section -> {name: (etype, lengths, values)}
-    where etype is "int64"/"float32"/"float64"/"string" and values is an
-    int64 / float32 / float64 / uint8-byte-stream array respectively.
+    where etype is "int64"/"float32"/"float64"/"string"/"decimal(p,s)" and
+    values is an int64 / float32 / float64 / uint8-byte-stream / unscaled-
+    int64 array respectively.
     Empty dict when the blob has no extras. Raises typed CBSP* errors on
     any corruption (own crc32 + per-column count checks).
 
@@ -839,7 +859,18 @@ def decode_extras(
         off += nl
         etype = body[off]
         off += 1
-        if etype not in ETYPE_NAMES:
+        dec_ps: "tuple[int, int] | None" = None
+        if etype == ETYPE_DECIMAL:
+            if len(body) < off + 2 + 4:
+                raise TruncatedBlobError("extras decimal params truncated")
+            p_, s_ = body[off], body[off + 1]
+            off += 2
+            if not (1 <= p_ <= 18) or not (0 <= s_ <= p_):
+                raise HeaderInvalidError(
+                    f"extras[{name}]: invalid decimal({p_},{s_})"
+                )
+            dec_ps = (p_, s_)
+        elif etype not in ETYPE_NAMES:
             raise HeaderInvalidError(f"extras[{name}]: unknown etype {etype}")
         (pl_len,) = _U32.unpack_from(body, off)
         off += 4
@@ -863,13 +894,26 @@ def decode_extras(
         n_vals = int(lens.sum()) if n_rows else 0
         if etype == ETYPE_INT64:
             vals: np.ndarray = core.decode_array(vbuf)
+        elif dec_ps is not None:
+            vals = core.decode_array(vbuf)
+            lim = 10 ** dec_ps[0]
+            if len(vals) and ((vals >= lim) | (vals <= -lim)).any():
+                raise PayloadCorruptError(
+                    f"extras[{name}]: unscaled value exceeds decimal"
+                    f"({dec_ps[0]},{dec_ps[1]}) precision"
+                )
         elif etype in _FLOAT_DTYPES:
             vals = _decode_float_section(vbuf, n_vals, etype)
         else:
             vals = np.frombuffer(_decode_doc_bytes(vbuf, n_vals), dtype=np.uint8)
         if n_vals != len(vals):
             raise CountMismatchError(f"extras[{name}]: values count mismatch")
-        out[name] = (ETYPE_NAMES[etype], lens, vals)
+        ename = (
+            f"decimal({dec_ps[0]},{dec_ps[1]})"
+            if dec_ps is not None
+            else ETYPE_NAMES[etype]
+        )
+        out[name] = (ename, lens, vals)
     return out
 
 

@@ -8,7 +8,19 @@ from __future__ import annotations
 
 import hashlib
 import json
+import re
 from dataclasses import dataclass, field
+
+_DECIMAL_RE = re.compile(r"^decimal\((\d{1,2}),(\d{1,2})\)$")
+
+
+def decimal_params(etype: str) -> "tuple[int, int] | None":
+    """(precision, scale) for a 'decimal(p,s)' extra-column type string,
+    None for every other type. Bounds are validated by EncodeConfig."""
+    m = _DECIMAL_RE.match(etype)
+    if m is None:
+        return None
+    return int(m.group(1)), int(m.group(2))
 
 
 TOKEN_TABLE_FIELDS = (
@@ -74,10 +86,27 @@ class EncodeConfig:
         for name, etype in self.extra_specs():
             if not name:
                 raise ValueError("extra_columns: empty column name")
-            if etype not in self._EXTRA_TYPES:
+            dp = decimal_params(etype)
+            if dp is not None:
+                # the reference's type authority maps zoned/packed decimals
+                # to Decimal128(p, s) with an int64+scale IR ("never via
+                # float") — crates/copybook-arrow/src/schema_convert.rs:129,
+                # crates/copybook-codec/src/numeric.rs:397 SmallDecimal. The
+                # engine stores the unscaled int64, so p is capped at 18.
+                p, s = dp
+                if not (1 <= p <= 18):
+                    raise ValueError(
+                        f"extra_columns: {name!r} precision {p} out of range "
+                        "(1..18 — unscaled values are int64)"
+                    )
+                if not (0 <= s <= p):
+                    raise ValueError(
+                        f"extra_columns: {name!r} scale {s} out of range (0..{p})"
+                    )
+            elif etype not in self._EXTRA_TYPES:
                 raise ValueError(
                     f"extra_columns: unknown type {etype!r} for {name!r} "
-                    f"(expected one of {self._EXTRA_TYPES})"
+                    f"(expected one of {self._EXTRA_TYPES} or 'decimal(p,s)')"
                 )
             if name in self._RESERVED:
                 raise ValueError(
@@ -122,5 +151,8 @@ class EncodeConfig:
             "float64": "array<double>",
             "string": "string",
         }
-        out.extend((n, sql_types[t]) for n, t in self.extra_specs())
+        out.extend(
+            (n, t if decimal_params(t) is not None else sql_types[t])
+            for n, t in self.extra_specs()
+        )
         return tuple(out)

@@ -25,6 +25,7 @@ from pyspark.sql.types import (
 from dataclasses import dataclass
 
 from copybook_rs_spark import blob
+from copybook_rs_spark.config import decimal_params
 from copybook_rs_spark.errors import (
     EngineError,
     ErrorBudgetExceededError,
@@ -76,17 +77,20 @@ _COALESCE_BYTES = 16 << 20
 def _build_schemas(cfg, cols: tuple[str, ...]):
     """(arrow schema, spark schema) for the requested columns under the
     config's token dtype + typed extra columns."""
-    from pyspark.sql.types import DoubleType, FloatType
+    from pyspark.sql.types import DecimalType, DoubleType, FloatType
 
     tok64 = cfg is not None and cfg.token_dtype == "int64"
     specs = dict(cfg.extra_specs()) if cfg is not None else {}
-    extra_pa = _EXTRA_PA_TYPES
     extra_sp = {
         "int64": ArrayType(LongType(), False),
         "float32": ArrayType(FloatType(), False),
         "float64": ArrayType(DoubleType(), False),
         "string": StringType(),
     }
+
+    def _sp_type(et):
+        dp = decimal_params(et)
+        return DecimalType(*dp) if dp is not None else extra_sp[et]
     pa_fields, sp_fields = [], []
     for c in cols:
         if c == "doc_id" or c == "source":
@@ -107,8 +111,8 @@ def _build_schemas(cfg, cols: tuple[str, ...]):
             sp_fields.append(StructField(c, IntegerType(), False))
         else:  # typed extra column
             et = specs.get(c, "int64")
-            pa_fields.append((c, extra_pa[et]))
-            sp_fields.append(StructField(c, extra_sp[et], False))
+            pa_fields.append((c, _extra_pa_type(et)))
+            sp_fields.append(StructField(c, _sp_type(et), False))
     return pa.schema(pa_fields), StructType(sp_fields)
 
 
@@ -118,6 +122,11 @@ _EXTRA_PA_TYPES = {
     "float64": pa.list_(pa.float64()),
     "string": pa.string(),
 }
+
+
+def _extra_pa_type(etype: str) -> pa.DataType:
+    dp = decimal_params(etype)
+    return pa.decimal128(*dp) if dp is not None else _EXTRA_PA_TYPES[etype]
 
 
 def _offsets32(lens: np.ndarray, n: int, what: str) -> np.ndarray:
@@ -171,12 +180,34 @@ def _decode_one(
             # config that declares a DIFFERENT type for this column is a
             # caller error that must surface as a typed mismatch, not a raw
             # pyarrow ArrowInvalid from from_arrays
-            if not out_schema.field(col).type.equals(_EXTRA_PA_TYPES[etype]):
+            if not out_schema.field(col).type.equals(_extra_pa_type(etype)):
                 raise EngineError(
                     f"extra column {col!r} is {etype!r} in the blob but the "
                     f"decode config declares {out_schema.field(col).type}",
                     code="CBSP203",
                 )
+            dp = decimal_params(etype)
+            if dp is not None:
+                # scalar decimal: exactly one unscaled int64 per row, laid
+                # out as 16-byte little-endian two's complement for Arrow
+                if n and not (el == 1).all():
+                    raise EngineError(
+                        f"extra column {col!r}: decimal rows must have "
+                        "exactly one value",
+                        code="CBSP203",
+                    )
+                v = np.ascontiguousarray(ev, dtype=np.int64)
+                raw = np.empty((len(v), 2), dtype="<i8")
+                raw[:, 0] = v
+                raw[:, 1] = v >> 63  # sign extension
+                arrays.append(
+                    pa.Array.from_buffers(
+                        pa.decimal128(*dp),
+                        len(v),
+                        [None, pa.py_buffer(raw.tobytes())],
+                    )
+                )
+                continue
             ex_off = _offsets32(el, n, f"extra column {col!r}")
             if etype == "string":
                 arrays.append(

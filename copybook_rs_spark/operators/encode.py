@@ -33,8 +33,12 @@ from pyspark.sql.types import (
 )
 
 from copybook_rs_spark import blob
-from copybook_rs_spark.config import EncodeConfig
-from copybook_rs_spark.errors import CodecError, PipelineContractError
+from copybook_rs_spark.config import EncodeConfig, decimal_params
+from copybook_rs_spark.errors import (
+    CodecError,
+    PipelineContractError,
+    ValueOverflowError,
+)
 from copybook_rs_spark.plans.partition import (
     plan_salts,
     repartition_for_encode,
@@ -129,13 +133,53 @@ _EXTRA_NP_DTYPES = {
 }
 
 
+def _extra_np_dtype(etype: str):
+    """Kernel-side numpy dtype of an extra column's flat value stream;
+    decimals travel as unscaled int64 (never via float)."""
+    if decimal_params(etype) is not None:
+        return np.int64
+    return _EXTRA_NP_DTYPES[etype]
+
+
+def _extra_raw_width(etype: str) -> int:
+    """Native per-element width the blob replaces (raw_bytes accounting):
+    Decimal128 is 16 bytes in Arrow/Spark; strings count their utf8 bytes."""
+    if decimal_params(etype) is not None:
+        return 16
+    return np.dtype(_EXTRA_NP_DTYPES[etype]).itemsize
+
+
+def _decimal_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(all-ones lengths, unscaled int64 values) of a decimal128 array.
+    Arrow stores each value as a 16-byte little-endian two's-complement
+    int; precision <= 18 guarantees the value fits int64, so the high word
+    must be the sign extension of the low word — anything else is data
+    outside the declared precision."""
+    if arr.null_count:
+        raise CodecError("decimal extras must be non-null")
+    n = len(arr)
+    bufs = arr.buffers()
+    raw = np.frombuffer(bufs[1], dtype=np.int64).reshape(-1, 2)[
+        arr.offset : arr.offset + n
+    ]
+    lo, hi = raw[:, 0], raw[:, 1]
+    if n and (hi != (lo >> 63)).any():
+        raise ValueOverflowError(
+            "decimal value outside int64 unscaled range (precision > 18?)"
+        )
+    return np.ones(n, dtype=np.int64), np.ascontiguousarray(lo)
+
+
 def _extra_parts(batch: pa.RecordBatch, name: str, etype: str):
     """(per-row lengths, flat value stream) for one extra column. Array
     types come from list offsets; strings come from the utf8 buffers (lens
-    are per-row BYTE lengths)."""
+    are per-row BYTE lengths); scalar decimals are one unscaled int64 per
+    row (lens all 1)."""
     col = batch.column(name)
     if etype == "string":
         return _string_parts(col)
+    if decimal_params(etype) is not None:
+        return _decimal_parts(col)
     return _list_parts(col, _EXTRA_NP_DTYPES[etype])
 
 
@@ -223,7 +267,7 @@ class _GroupBuffer:
         ex = {
             n: (
                 self._cat(self.ex_lens[n]),
-                self._cat(self.ex_vals[n], _EXTRA_NP_DTYPES[t]),
+                self._cat(self.ex_vals[n], _extra_np_dtype(t)),
             )
             for n, t in self.extra_specs
         }
@@ -302,7 +346,7 @@ class _GroupBuffer:
         tok_w = 8 if cfg.token_dtype == "int64" else 4
         raw = tok_w * len(vals)
         for _n, t, _el, ev in extras:
-            raw += np.dtype(_EXTRA_NP_DTYPES[t]).itemsize * len(ev)
+            raw += _extra_raw_width(t) * len(ev)
         row = {
             "chunk_id": f"{self.source}/{self.part_id:05d}/{self.seq:06d}",
             "source": self.source,

@@ -41,6 +41,19 @@ def _payload_fields(cfg: EncodeConfig) -> list[str]:
     return ["doc_id", "n_tok", "source", "tokens"] + extras
 
 
+def _field_type(t: str):
+    from pyspark.sql.types import DecimalType
+
+    from copybook_rs_spark.config import decimal_params
+
+    dp = decimal_params(t)
+    if dp is not None:
+        # JSON numbers parse exactly into DecimalType (Spark's JSON reader
+        # keeps the literal digits) — no float detour
+        return DecimalType(*dp)
+    return _TYPE_MAP[t]
+
+
 def _envelope_struct(cfg: EncodeConfig) -> StructType:
     types = dict(cfg.fields())
     fields = [
@@ -48,7 +61,7 @@ def _envelope_struct(cfg: EncodeConfig) -> StructType:
         StructField("schema_fingerprint", StringType(), False),
     ]
     fields.extend(
-        StructField(c, _TYPE_MAP[types[c]], False) for c in _payload_fields(cfg)
+        StructField(c, _field_type(types[c]), False) for c in _payload_fields(cfg)
     )
     return StructType(fields)
 

@@ -625,3 +625,90 @@ def test_offsets32_overflow_guard():
     big = np.array([2**30, 2**30, 2**30], dtype=np.int64)
     with pytest.raises(EngineError, match="2\\^31"):
         _offsets32(big, 3, "extra column 'aux'")
+
+
+def test_decimal_extras_roundtrip(spark):
+    # decimal(p,s) extra column: unscaled-int64 lane, never via float
+    # (reference SmallDecimal stance, crates/copybook-codec/src/
+    # numeric.rs:397); exact roundtrip incl. negatives and the precision-18
+    # boundary, compared as exact decimal strings
+    from decimal import Decimal
+
+    rows = []
+    for i in range(200):
+        cents = (i * 7919 - 700000) % 1999999 - 999999  # negatives included
+        big = (i * 37) - 100  # scale-0, near int boundaries
+        rows.append(
+            (f"p_{i:05d}", [i % 50], 1, f"s{i % 3}",
+             Decimal(cents) / 100, Decimal(big))
+        )
+    # boundary: max/min unscaled for precision 18
+    rows.append(("p_max", [1], 1, "s0",
+                 Decimal("9999999999999999.99"), Decimal(10**18 - 1)))
+    rows.append(("p_min", [1], 1, "s0",
+                 Decimal("-9999999999999999.99"), Decimal(-(10**18) + 1)))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "price decimal(18,2), qty decimal(18,0)",
+    )
+    cfg = EncodeConfig(
+        extra_columns=("price:decimal(18,2)", "qty:decimal(18,0)"),
+        chunk_values=64, target_values_per_part=512, shuffle_partitions=3,
+    )
+    chunks = encode_tokens(df, cfg).cache()
+    dec = decode_tokens(chunks, cfg=cfg)
+    dt = dict(dec.dtypes)
+    assert dt["price"] == "decimal(18,2)" and dt["qty"] == "decimal(18,0)"
+    want = {r["doc_id"]: (str(r["price"]), str(r["qty"])) for r in df.collect()}
+    got = {r["doc_id"]: (str(r["price"]), str(r["qty"])) for r in dec.collect()}
+    assert got == want
+    # determinism across parallelism
+    cfg2 = EncodeConfig(
+        extra_columns=("price:decimal(18,2)", "qty:decimal(18,0)"),
+        chunk_values=64, target_values_per_part=512, shuffle_partitions=7,
+    )
+    assert _chunk_content_hash(chunks) == _chunk_content_hash(encode_tokens(df, cfg2))
+    # projection: decimal-only decode never touches token values
+    only = decode_tokens(chunks, columns=["doc_id", "price"], cfg=cfg)
+    assert only.columns == ["doc_id", "price"] and only.count() == 202
+    # compaction lossless
+    from copybook_rs_spark.operators.encode import compact_chunks
+
+    assert _chunk_content_hash(compact_chunks(chunks, cfg)) == _chunk_content_hash(chunks)
+
+
+def test_decimal_spec_validation():
+    with pytest.raises(ValueError, match="precision"):
+        EncodeConfig(extra_columns=("p:decimal(19,2)",))
+    with pytest.raises(ValueError, match="precision"):
+        EncodeConfig(extra_columns=("p:decimal(0,0)",))
+    with pytest.raises(ValueError, match="scale"):
+        EncodeConfig(extra_columns=("p:decimal(5,6)",))
+    with pytest.raises(ValueError, match="unknown type"):
+        EncodeConfig(extra_columns=("p:decimal(5)",))
+    # fingerprint distinguishes scales
+    assert (
+        EncodeConfig(extra_columns=("p:decimal(12,2)",)).fingerprint
+        != EncodeConfig(extra_columns=("p:decimal(12,3)",)).fingerprint
+    )
+
+
+def test_jsonl_envelope_carries_decimals_exactly(spark):
+    from decimal import Decimal
+
+    from copybook_rs_spark.operators.jsonl import from_jsonl, to_jsonl
+
+    rows = [(f"j_{i}", [i], 1, "web", Decimal(i * 137 - 400) / 100)
+            for i in range(50)]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "price decimal(10,2)",
+    )
+    cfg = EncodeConfig(extra_columns=("price:decimal(10,2)",))
+    back = from_jsonl(to_jsonl(df, cfg), cfg, on_error="fail")
+    assert dict(back.dtypes)["price"] == "decimal(10,2)"
+    want = {r["doc_id"]: str(r["price"]) for r in df.collect()}
+    got = {r["doc_id"]: str(r["price"]) for r in back.collect()}
+    assert got == want
