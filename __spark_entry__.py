@@ -841,5 +841,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY lang
         """,
-        # codec_histogram / compression_ratio: engine-internal -> rows-only
+        # codec_histogram / compression_ratio: engine-internal, but chunk
+        # content is a pure function of the data (invariant 2), so the
+        # aggregates are PINNED by fixture parquets (scripts/
+        # make_codec_pins.py — regenerate only on deliberate codec-stack
+        # output changes, the goldens stance). ann_lsh_topk stays rows-only:
+        # a float32-matmul LSH oracle would be flaky (ulp flips near-zero
+        # bucket bits).
+        "codec_histogram": f"""
+            SELECT source, codec, n_chunks, enc_bytes
+            FROM '/root/repo/tests/fixtures/codec_pins_histogram.parquet'
+            WHERE sf_key = (SELECT CAST(sum(n_tok) AS BIGINT) FROM {_TOK})
+        """,
+        "compression_ratio": f"""
+            SELECT source, raw_bytes, enc_bytes, bytes_per_token
+            FROM '/root/repo/tests/fixtures/codec_pins_ratio.parquet'
+            WHERE sf_key = (SELECT CAST(sum(n_tok) AS BIGINT) FROM {_TOK})
+        """,
     }

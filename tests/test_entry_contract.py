@@ -37,8 +37,4 @@ def test_rows_only_set_is_the_documented_one():
     # rows-only queries are a deliberate, named exception list — adding a
     # query without an oracle must be a conscious decision here
     qs, osql = ent.queries(), ent.oracle_sql()
-    assert set(qs) - set(osql) == {
-        "ann_lsh_topk",
-        "codec_histogram",
-        "compression_ratio",
-    }
+    assert set(qs) - set(osql) == {"ann_lsh_topk"}
