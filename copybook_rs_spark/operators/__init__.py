@@ -2,5 +2,10 @@
 mapInArrow pipelines with zero per-row Python (SURVEY.md §2.10)."""
 
 from copybook_rs_spark.operators.encode import compact_chunks, encode_tokens, prepare_grouped  # noqa: F401
-from copybook_rs_spark.operators.decode import decode_tokens  # noqa: F401
+from copybook_rs_spark.operators.decode import (  # noqa: F401
+    decode_tokens,
+    read_decoded,
+    run_decode,
+    run_decode_resumable,
+)
 from copybook_rs_spark.operators.verify import roundtrip_mismatches  # noqa: F401

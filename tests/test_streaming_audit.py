@@ -389,3 +389,75 @@ def test_streaming_exact_dedup_stateful(spark, tmp_path):
     run_batch([(2, "alpha"), (8, "delta"), (6, "gamma"), (4, "delta")])
     got2 = {(r["doc_id"], r["text"]) for r in spark.read.parquet(out_dir).collect()}
     assert got2 == got1 | {(4, "delta")}
+
+
+def test_run_decode_resumable_survives_mid_run_kill(spark, tmp_path, monkeypatch):
+    # kill a sharded decode after 2 committed shards (+ one partial dir from
+    # the killed job), resume, and get bit-identical output without
+    # re-decoding the committed shards (round-3 VERDICT gap #4)
+    import os
+
+    from copybook_rs_spark.errors import EngineError
+    from copybook_rs_spark.operators import decode as dec_mod
+    from copybook_rs_spark.operators.decode import (
+        decode_tokens,
+        read_decoded,
+        run_decode_resumable,
+    )
+
+    df = synthetic_tokens(spark, "mixed", 400)
+    chunks = encode_tokens(df, CFG).cache()
+    truth = {
+        (r["doc_id"], tuple(r["tokens"]), r["n_tok"], r["source"])
+        for r in decode_tokens(chunks).collect()
+    }
+    out = str(tmp_path / "dec")
+
+    calls = {"n": 0}
+    orig_plan = dec_mod._plan_decode
+
+    def crashing(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("simulated driver crash")
+        return orig_plan(*a, **k)
+
+    monkeypatch.setattr(dec_mod, "_plan_decode", crashing)
+    with pytest.raises(RuntimeError, match="simulated"):
+        run_decode_resumable(chunks, out, n_shards=4)
+    monkeypatch.setattr(dec_mod, "_plan_decode", orig_plan)
+
+    shards_root = os.path.join(out, "shards")
+    committed = [
+        d for d in os.listdir(shards_root)
+        if os.path.exists(os.path.join(shards_root, d, "_SUCCESS"))
+    ]
+    assert len(committed) == 2
+    # a consumer must NOT be able to read the crashed 50%-done dataset
+    with pytest.raises(EngineError, match="incomplete"):
+        read_decoded(spark, out)
+    # partial dir from a killed job (no _SUCCESS) must be wiped on resume
+    partial = os.path.join(shards_root, "shard=00002")
+    os.makedirs(partial, exist_ok=True)
+    with open(os.path.join(partial, "part-junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+
+    counted = {"n": 0}
+
+    def counting(*a, **k):
+        counted["n"] += 1
+        return orig_plan(*a, **k)
+
+    monkeypatch.setattr(dec_mod, "_plan_decode", counting)
+    summary = run_decode_resumable(chunks, out, n_shards=4)
+    assert summary["shards_skipped"] == 2
+    assert summary["shards_done"] == 2
+    assert counted["n"] == 2  # committed shards were NOT re-decoded
+    got = {
+        (r["doc_id"], tuple(r["tokens"]), r["n_tok"], r["source"])
+        for r in read_decoded(spark, out).collect()
+    }
+    assert got == truth
+    # idempotent re-run: everything skipped, output unchanged
+    again = run_decode_resumable(chunks, out, n_shards=4)
+    assert again["shards_skipped"] == 4 and again["shards_done"] == 0
