@@ -71,8 +71,15 @@ _TOKEN_PA_SCHEMA = pa.schema(
 
 
 _ALL_COLUMNS = ("doc_id", "tokens", "n_tok", "source")
-_COALESCE_ROWS = 16384
-_COALESCE_BYTES = 16 << 20
+# output-coalescer bounds (rows AND bytes) before the Arrow IPC return —
+# env-overridable so deployments (and scaling experiments) can tune the
+# batch size crossing the Python->JVM boundary without a code change.
+# NOTE: read at import time on driver AND executors; both sides must see
+# the same environment for the setting to take effect in the kernel.
+_COALESCE_ROWS = int(os.environ.get("SPARK_GRAFT_DECODE_BATCH_ROWS", 16384))
+_COALESCE_BYTES = int(
+    os.environ.get("SPARK_GRAFT_DECODE_BATCH_BYTES", 16 << 20)
+)
 
 
 def _build_schemas(cfg, cols: tuple[str, ...]):
