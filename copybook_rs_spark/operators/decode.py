@@ -619,7 +619,10 @@ def read_decoded(spark, out_dir: str) -> DataFrame:
             "resume it with run_decode_resumable",
             code="CBSP301",
         )
-    return spark.read.parquet(os.path.join(out_dir, "shards"))
+    out = spark.read.parquet(os.path.join(out_dir, "shards"))
+    # the __shard=NNNNN dirs are partition-discovered as a column; it is an
+    # engine-internal, not part of the user schema
+    return out.drop("__shard")
 
 
 def run_decode_resumable(
@@ -668,10 +671,10 @@ def run_decode_resumable(
     if fs.exists(root_p):
         for st in fs.listStatus(root_p):
             name = st.getPath().getName()
-            if not name.startswith("shard="):
+            if not name.startswith("__shard="):
                 continue
             if fs.exists(jpath(os.path.join(shards_root, name, "_SUCCESS"))):
-                committed.add(int(name[len("shard="):]))
+                committed.add(int(name[len("__shard="):]))
             else:
                 # a killed job's partial dir: wipe and re-decode
                 fs.delete(st.getPath(), True)
@@ -693,7 +696,7 @@ def run_decode_resumable(
             make_decode_kernel(cols, out_pa, opts, err_acc, sample_acc, tok64),
             out_spark,
         )
-        shard_dir = os.path.join(shards_root, f"shard={s:05d}")
+        shard_dir = os.path.join(shards_root, f"__shard={s:05d}")
         try:
             decoded.write.mode("errorifexists").parquet(shard_dir)
         except Exception as e:

@@ -433,11 +433,12 @@ def test_run_decode_resumable_survives_mid_run_kill(spark, tmp_path, monkeypatch
         if os.path.exists(os.path.join(shards_root, d, "_SUCCESS"))
     ]
     assert len(committed) == 2
+    assert all(d.startswith("__shard=") for d in committed)
     # a consumer must NOT be able to read the crashed 50%-done dataset
     with pytest.raises(EngineError, match="incomplete"):
         read_decoded(spark, out)
     # partial dir from a killed job (no _SUCCESS) must be wiped on resume
-    partial = os.path.join(shards_root, "shard=00002")
+    partial = os.path.join(shards_root, "__shard=00002")
     os.makedirs(partial, exist_ok=True)
     with open(os.path.join(partial, "part-junk.parquet"), "wb") as f:
         f.write(b"not parquet")
@@ -453,9 +454,11 @@ def test_run_decode_resumable_survives_mid_run_kill(spark, tmp_path, monkeypatch
     assert summary["shards_skipped"] == 2
     assert summary["shards_done"] == 2
     assert counted["n"] == 2  # committed shards were NOT re-decoded
+    dec_df = read_decoded(spark, out)
+    assert "__shard" not in dec_df.columns  # engine-internal, never leaked
     got = {
         (r["doc_id"], tuple(r["tokens"]), r["n_tok"], r["source"])
-        for r in read_decoded(spark, out).collect()
+        for r in dec_df.collect()
     }
     assert got == truth
     # idempotent re-run: everything skipped, output unchanged
