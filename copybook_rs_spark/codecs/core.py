@@ -123,6 +123,8 @@ class ChunkStats:
     n_delta_runs: int = 0  # runs in the (modular) diff stream
     zz_delta_p99: int = 0  # 99th-percentile zigzag delta (0 = unknown)
     mode_count: int = 0  # frequency of the most common value (0 = unknown)
+    mode_value: int = 0  # the most common value (valid iff mode_count > 0;
+    # ties broken toward the SMALLEST value on every stats path)
     _uniq: np.ndarray | None = field(default=None, repr=False)
     _uniq_counts: np.ndarray | None = field(default=None, repr=False)
     _run_break_idx: np.ndarray | None = field(default=None, repr=False)
@@ -151,10 +153,30 @@ class ChunkStats:
         n_delta_runs = (
             int((diffs_u[1:] != diffs_u[:-1]).sum()) + 1 if n > 2 else min(n, 1)
         )
-        if deep:
+        mode_val = 0
+        n_dist = n
+        if deep and n > 64 and 0 <= vmax - vmin <= max(4 * n, 1 << 16):
+            # narrow-range fast path: exact distinct count + mode via
+            # bincount — O(n + range), no sort. Tie-break identical to the
+            # unique path (argmax returns the FIRST max = smallest value),
+            # so every selection decision and payload byte is unchanged.
+            # _uniq stays None; the dict candidate (depth 0 only) re-derives
+            # it on the rare low-cardinality streams where dict is tried.
+            counts = np.bincount(v - vmin)
+            mode_idx = int(np.argmax(counts))
+            uniq, ucounts = None, None
+            n_dist = int(np.count_nonzero(counts))
+            mode_cnt = int(counts[mode_idx])
+            mode_val = vmin + mode_idx
+        elif deep:
             uniq, ucounts = np.unique(v, return_counts=True)
+            n_dist = len(uniq)
+            mode_idx = int(np.argmax(ucounts))
+            mode_cnt = int(ucounts[mode_idx])
+            mode_val = int(uniq[mode_idx])
         else:
             uniq, ucounts = None, None
+            mode_cnt = 0
         zz_first = vi.zigzag_encode(v[:1])
         zz_rest = vi.zigzag_encode(diffs_u.view(np.int64))
         max_zz = int(max(zz_first.max(), zz_rest.max()) if n > 1 else zz_first.max())
@@ -178,14 +200,15 @@ class ChunkStats:
             n=n,
             vmin=vmin,
             vmax=vmax,
-            n_distinct=len(uniq) if uniq is not None else n,
+            n_distinct=n_dist,
             n_runs=n_runs,
             is_sorted=is_sorted,
             max_run_len=max_run,
             max_zz_delta=max_zz,
             zz_delta_p99=zz_p99,
             n_delta_runs=n_delta_runs,
-            mode_count=int(ucounts.max()) if ucounts is not None else 0,
+            mode_count=mode_cnt,
+            mode_value=mode_val,
             _uniq=uniq,
             _uniq_counts=ucounts,
             _run_break_idx=breaks,
@@ -336,15 +359,16 @@ def _exc_positions(gaps: np.ndarray, n: int, what: str) -> np.ndarray:
 def _encode_patch(vals: np.ndarray, depth: int, stats: ChunkStats | None = None) -> bytes:
     v = np.ascontiguousarray(vals, dtype=np.int64)
     n = len(v)
-    if stats is not None and stats._uniq is not None and stats._uniq_counts is not None:
-        uniq, counts = stats._uniq, stats._uniq_counts
-    else:
-        uniq, counts = np.unique(v, return_counts=True)
     if n == 0:
         mode = 0
         exc_idx = np.empty(0, dtype=np.int64)
     else:
-        mode = int(uniq[np.argmax(counts)])  # argmax: first max = smallest value
+        if stats is not None and stats.mode_count > 0:
+            mode = int(stats.mode_value)  # every stats path ties toward the
+            # smallest value, matching the unique+argmax derivation below
+        else:
+            uniq, counts = np.unique(v, return_counts=True)
+            mode = int(uniq[np.argmax(counts)])  # first max = smallest value
         exc_idx = np.flatnonzero(v != mode)
     gaps = _exc_gaps(exc_idx)
     sub_pos, _ = encode_array(gaps, codec="auto", depth=depth + 1)
@@ -371,7 +395,7 @@ def _pfor_plan(resid: np.ndarray, n: int) -> tuple[int, int]:
     sort). Returns (width, n_exc)."""
     if n == 0:
         return 0, 0
-    bl = np.searchsorted(_POW2[:64], resid, side="right")  # bit width 0..64
+    bl = bp.bit_lengths(resid)  # bit width 0..64, exact
     hist = np.bincount(bl, minlength=65)
     exc_above = n - np.cumsum(hist)  # exc_above[w] = count with width > w
     max_bits = int(bl.max())
@@ -524,11 +548,11 @@ def _delta_skip_confirmed(v: np.ndarray, best_len: int, depth: int) -> bool:
         return False  # near-majority: sub-cascade patch can reach O(1)
     # --- layer 2: width-frontier floor (min-referenced, sorted residuals)
     resid = szz - szz[0]
-    widths = np.searchsorted(_POW2[:64], resid, side="right")  # ascending
+    widths = bp.bit_lengths(resid)  # ascending (resid sorted)
     top = int(widths[-1])
     if top == 0:
         return False
-    floor = 6 + bp.packed_size(n, int(np.searchsorted(_POW2[:64], szz[-1], "right")))
+    floor = 6 + bp.packed_size(n, bp.bit_width(int(szz[-1])))
     floor = min(floor, 13 + 6 + bp.packed_size(n, top))
     for w in range(1, top):
         k = n - int(np.searchsorted(widths, w, side="right"))

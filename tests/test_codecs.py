@@ -370,3 +370,49 @@ def test_delta_skip_gate_still_fires_on_high_entropy():
     auto, used = core.encode_array(v, codec="auto")
     np.testing.assert_array_equal(core.decode_array(auto), v)
     assert len(auto) <= len(best)
+
+
+def test_bincount_stats_path_matches_unique_path():
+    # the narrow-range bincount fast path must produce the exact same
+    # distinct/mode statistics (and therefore the same selection decisions
+    # and payload bytes) as the sort-based unique path, including the
+    # smallest-value tie-break on equal mode counts
+    rng = np.random.default_rng(31)
+    streams = [
+        rng.integers(0, 100, 5000).astype(np.int64),       # narrow, modal
+        rng.integers(-50, 50, 5000).astype(np.int64),      # negatives
+        np.tile(np.array([7, 7, 3, 3], dtype=np.int64), 500),  # tie: 3 wins
+        rng.integers(0, 10**12, 5000).astype(np.int64),    # wide -> unique path
+        np.full(1000, -9, dtype=np.int64),
+    ]
+    for v in streams:
+        fast = core.ChunkStats.analyze(v)
+        # force the unique path by disabling the range gate
+        vmin, vmax = int(v.min()), int(v.max())
+        uniq, ucounts = np.unique(v, return_counts=True)
+        assert fast.n_distinct == len(uniq)
+        assert fast.mode_count == int(ucounts.max())
+        assert fast.mode_value == int(uniq[np.argmax(ucounts)])
+        a, na = core.encode_array(v, "auto")
+        np.testing.assert_array_equal(core.decode_array(a), v)
+
+
+def test_bit_lengths_exact_across_uint64_boundaries():
+    # frexp-based bit lengths must be exact at every power-of-two boundary
+    # across the full uint64 range (the replaced searchsorted was exact)
+    edges = []
+    for k in range(64):
+        edges.extend([(1 << k) - 1, 1 << k, (1 << k) + 1])
+    edges.append((1 << 64) - 1)
+    u = np.array([e % (1 << 64) for e in edges], dtype=np.uint64)
+    got = bp.bit_lengths(u)
+    want = np.array([int(x).bit_length() for x in u.tolist()], dtype=np.int64)
+    np.testing.assert_array_equal(got, want)
+    rng = np.random.default_rng(41)
+    r = rng.integers(0, 1 << 63, 10000, dtype=np.uint64) | (
+        rng.integers(0, 2, 10000, dtype=np.uint64) << np.uint64(63)
+    )
+    np.testing.assert_array_equal(
+        bp.bit_lengths(r),
+        np.array([int(x).bit_length() for x in r.tolist()], dtype=np.int64),
+    )
