@@ -625,6 +625,29 @@ def read_decoded(spark, out_dir: str) -> DataFrame:
     return out.drop("__shard")
 
 
+def _fs_read_small(spark, fs, path) -> str:
+    """Read a small text file through the Hadoop FS (any filesystem)."""
+    stream = fs.open(path)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def _fs_write_small(spark, fs, path, text: str) -> None:
+    out = fs.create(path, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+_RESUME_META = "_RESUME_META.json"
+_SHARD_ERRORS = "_shard_errors.json"
+
+
 def run_decode_resumable(
     chunk_df: DataFrame,
     out_dir: str,
@@ -636,29 +659,42 @@ def run_decode_resumable(
     """run_decode with checkpoint-resume: the chunk table is split into
     `n_shards` deterministic shards (hash of the (source, part_id) group
     key), each decoded and committed as its own Spark job under
-    shards/shard=NNNN/ — so a 100 TB decode that dies at 95% re-runs only
-    the missing shards instead of restarting from zero (closes the gap
-    round-3 VERDICT ranked #4; encode has had manifest-gated resume since
-    round 1, sources/manifest.py:115).
+    shards/__shard=NNNNN/ — so a 100 TB decode that dies at 95% re-runs
+    only the missing shards instead of restarting from zero (encode has had
+    manifest-gated resume since round 1, sources/manifest.py:115).
 
-    Resume correctness: shard membership is a pure function of the data
-    (never of parallelism), decode is bit-deterministic, and a shard dir
-    counts as committed only with Spark's own _SUCCESS job marker — a dir
-    from a killed job (no _SUCCESS) is deleted and re-decoded. The final
-    _DECODE_COMPLETE marker is written only after every shard committed and
-    the error budget passed; read_decoded refuses datasets without it.
+    Resume correctness:
+    - Shard membership is a pure function of the data, never of
+      parallelism; decode is bit-deterministic.
+    - The FIRST run persists {n_shards, n_chunks} to _RESUME_META.json;
+      a resume validates both and raises typed CBSP301 on mismatch —
+      resuming with a different n_shards (silent data loss/duplication) or
+      against a changed chunk table can never succeed silently.
+    - A shard commits by writing to a hidden .staging- dir (Spark job
+      commit) and then a single atomic rename, WITH its own error count
+      (_shard_errors.json) inside — so a shard is committed if and only if
+      its errors are accounted. Partial staging/final dirs from killed
+      jobs are wiped on resume.
+    - The lenient error budget is CUMULATIVE across runs (baseline = sum
+      of committed shards' recorded errors) and checked BEFORE the shard
+      commits: an over-budget shard is dropped, stays pending, and is
+      re-decoded after the table is repaired — mirroring run_decode's
+      "no complete-looking dataset past the budget" stance. The final
+      _DECODE_COMPLETE marker is written only after every shard committed
+      within budget; read_decoded refuses datasets without it.
 
     Scale note: each shard job re-scans the chunk table's metadata and
     filters on the computed shard id (no partition pruning), but the filter
     runs BEFORE the decode kernel, so the n_shards passes touch only
     compressed blob bytes (~1000x smaller than the decoded output) — with
-    the default 64 shards that is ~6% of one decode's output I/O, the price
-    of restartability. Error budget: counts accumulate across the shards of
-    ONE run; a resumed run starts a fresh budget (committed shards already
-    passed theirs).
+    the default 64 shards that is ~6% of one decode's output I/O, the
+    price of restartability.
 
-    Returns {n_errors, error_samples, out_dir, shards_done, shards_skipped}.
+    Returns {n_errors (cumulative), error_samples (this run), out_dir,
+    shards_done, shards_skipped}.
     """
+    import json as _json
+
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
     opts = options or DecodeOptions()
@@ -667,26 +703,67 @@ def run_decode_resumable(
     shards_root = os.path.join(out_dir, "shards")
     fs, root_p = _hadoop_path(spark, shards_root)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
+
+    # ---- resume metadata: pin n_shards + input-table identity
+    n_chunks = chunk_df.count()
+    meta_path = jpath(os.path.join(out_dir, _RESUME_META))
+    if fs.exists(meta_path):
+        meta = _json.loads(_fs_read_small(spark, fs, meta_path))
+        if meta["n_shards"] != n_shards:
+            raise EngineError(
+                f"resume with n_shards={n_shards} but {out_dir!r} was "
+                f"started with n_shards={meta['n_shards']} — shard "
+                "membership would silently re-map (data loss); pass the "
+                "original value or start a fresh out_dir",
+                code="CBSP301",
+            )
+        if meta["n_chunks"] != n_chunks:
+            raise EngineError(
+                f"resume against a changed chunk table ({n_chunks} chunks "
+                f"now vs {meta['n_chunks']} at start) — committed shards "
+                "would be missing the new chunks; start a fresh out_dir "
+                "(or decode the delta separately)",
+                code="CBSP301",
+            )
+    else:
+        parent = meta_path.getParent()
+        if parent is not None and not fs.exists(parent):
+            fs.mkdirs(parent)
+        _fs_write_small(
+            spark, fs, meta_path,
+            _json.dumps({"n_shards": n_shards, "n_chunks": n_chunks}),
+        )
+
+    # ---- committed shards + their recorded error counts; wipe partials
     committed: set[int] = set()
+    baseline_errors = 0
     if fs.exists(root_p):
         for st in fs.listStatus(root_p):
             name = st.getPath().getName()
+            if name.startswith(".staging-"):
+                fs.delete(st.getPath(), True)  # killed mid-write
+                continue
             if not name.startswith("__shard="):
                 continue
             if fs.exists(jpath(os.path.join(shards_root, name, "_SUCCESS"))):
                 committed.add(int(name[len("__shard="):]))
+                errs_p = jpath(os.path.join(shards_root, name, _SHARD_ERRORS))
+                if fs.exists(errs_p):
+                    baseline_errors += _json.loads(
+                        _fs_read_small(spark, fs, errs_p)
+                    )["n_errors"]
             else:
                 # a killed job's partial dir: wipe and re-decode
                 fs.delete(st.getPath(), True)
-    # a pre-existing complete marker is stale the moment we re-run (the
-    # chunk table may have grown); re-written after this run's budget check
+    # a pre-existing complete marker is stale the moment we re-run;
+    # re-written after this run's budget check
     fs.delete(jpath(os.path.join(out_dir, _COMPLETE_MARKER)), False)
 
     err_acc = sc.accumulator(0)
     sample_acc = sc.accumulator([], _SampleParam())
     shard_col = F.pmod(F.xxhash64("source", "part_id"), F.lit(n_shards))
     src_all = chunk_df.withColumn("__shard", shard_col)
-    cols_done = 0
+    shards_done = 0
     for s in range(n_shards):
         if s in committed:
             continue
@@ -696,29 +773,49 @@ def run_decode_resumable(
             make_decode_kernel(cols, out_pa, opts, err_acc, sample_acc, tok64),
             out_spark,
         )
-        shard_dir = os.path.join(shards_root, f"__shard={s:05d}")
+        staging = os.path.join(shards_root, f".staging-__shard={s:05d}")
+        final = os.path.join(shards_root, f"__shard={s:05d}")
+        errs_before = int(err_acc.value)
         try:
-            decoded.write.mode("errorifexists").parquet(shard_dir)
+            decoded.write.mode("overwrite").parquet(staging)
         except Exception as e:
+            _drop_staging(spark, staging)
             if "CBSP205" in str(e):
                 raise ErrorBudgetExceededError(
                     f"decode aborted in shard {s}: error budget exceeded "
                     f"(max_errors={opts.max_errors})"
                 ) from e
             raise
-        cols_done += 1
-        if opts.policy == "lenient" and int(err_acc.value) > opts.max_errors:
+        shard_errors = int(err_acc.value) - errs_before
+        total = baseline_errors + int(err_acc.value)
+        if opts.policy == "lenient" and total > opts.max_errors:
+            # budget check BEFORE the commit: the over-budget shard is
+            # dropped and stays pending, so repairing the table and
+            # resuming re-decodes exactly the unaccounted chunks
+            _drop_staging(spark, staging)
             raise ErrorBudgetExceededError(
-                f"decode exceeded max_errors={opts.max_errors} after shard "
-                f"{s} ({int(err_acc.value)} corrupt chunks); committed "
-                "shards are kept — fix the table and resume"
+                f"decode exceeded max_errors={opts.max_errors} at shard "
+                f"{s} ({total} corrupt chunks cumulative); the shard was "
+                "NOT committed — fix the table and resume"
             )
-    n_errors = int(err_acc.value)
+        _fs_write_small(
+            spark, fs,
+            jpath(os.path.join(staging, _SHARD_ERRORS)),
+            _json.dumps({"n_errors": shard_errors}),
+        )
+        if not fs.rename(jpath(staging), jpath(final)):
+            raise EngineError(
+                f"failed to commit decode shard {s}: rename {staging} -> "
+                f"{final}",
+                code="CBSP301",
+            )
+        shards_done += 1
+    total_errors = baseline_errors + int(err_acc.value)
     fs.create(jpath(os.path.join(out_dir, _COMPLETE_MARKER)), True).close()
     return {
-        "n_errors": n_errors,
+        "n_errors": total_errors,
         "error_samples": list(sample_acc.value),
         "out_dir": out_dir,
-        "shards_done": cols_done,
+        "shards_done": shards_done,
         "shards_skipped": len(committed),
     }

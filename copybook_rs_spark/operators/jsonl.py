@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -30,6 +32,10 @@ _TYPE_MAP = {
     "int": IntegerType(),
     "array<int>": ArrayType(IntegerType(), False),
     "array<bigint>": ArrayType(LongType(), False),
+    # round-3 float lanes (review finding: these were missing, so the JSONL
+    # envelope crashed with a raw KeyError for float extra columns)
+    "array<float>": ArrayType(FloatType(), False),
+    "array<double>": ArrayType(DoubleType(), False),
 }
 
 

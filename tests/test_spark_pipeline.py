@@ -712,3 +712,22 @@ def test_jsonl_envelope_carries_decimals_exactly(spark):
     want = {r["doc_id"]: str(r["price"]) for r in df.collect()}
     got = {r["doc_id"]: str(r["price"]) for r in back.collect()}
     assert got == want
+
+
+def test_jsonl_envelope_float_extras(spark):
+    # review finding: the envelope TYPE_MAP lacked the round-3 float lanes,
+    # so from_jsonl crashed with a raw KeyError for float32/float64 extras
+    from copybook_rs_spark.operators.jsonl import from_jsonl, to_jsonl
+
+    rows = [(f"f_{i}", [i], 1, "web", [0.5 * i, -1.25], [i * 1e-3])
+            for i in range(30)]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "emb array<float>, scores array<double>",
+    )
+    cfg = EncodeConfig(extra_columns=("emb:float32", "scores:float64"))
+    back = from_jsonl(to_jsonl(df, cfg), cfg, on_error="fail")
+    assert dict(back.dtypes)["emb"] == "array<float>"
+    assert dict(back.dtypes)["scores"] == "array<double>"
+    assert back.count() == 30

@@ -464,3 +464,85 @@ def test_run_decode_resumable_survives_mid_run_kill(spark, tmp_path, monkeypatch
     # idempotent re-run: everything skipped, output unchanged
     again = run_decode_resumable(chunks, out, n_shards=4)
     assert again["shards_skipped"] == 4 and again["shards_done"] == 0
+
+
+def test_run_decode_resumable_meta_guards(spark, tmp_path):
+    # review findings: resuming with a different n_shards (silent re-map =
+    # data loss) or against a changed chunk table must raise typed CBSP301
+    from copybook_rs_spark.errors import EngineError
+    from copybook_rs_spark.operators.decode import run_decode_resumable
+
+    df = synthetic_tokens(spark, "mixed", 200)
+    chunks = encode_tokens(df, CFG).cache()
+    out = str(tmp_path / "dec")
+    run_decode_resumable(chunks, out, n_shards=4)
+    with pytest.raises(EngineError, match="n_shards"):
+        run_decode_resumable(chunks, out, n_shards=8)
+    with pytest.raises(EngineError, match="changed chunk table"):
+        run_decode_resumable(chunks.limit(2), out, n_shards=4)
+
+
+def test_run_decode_resumable_budget_before_commit_and_cumulative(spark, tmp_path):
+    # review findings: an over-budget shard must NOT commit (fix-and-resume
+    # re-decodes it), and recorded per-shard errors make the budget
+    # cumulative across resumes instead of resetting
+    import os
+
+    from copybook_rs_spark.errors import ErrorBudgetExceededError
+    from copybook_rs_spark.operators.decode import (
+        DecodeOptions,
+        decode_tokens,
+        read_decoded,
+        run_decode_resumable,
+    )
+
+    df = synthetic_tokens(spark, "mixed", 300)
+    chunks = encode_tokens(df, CFG).cache()
+    truth = {
+        (r["doc_id"], tuple(r["tokens"])) for r in decode_tokens(chunks).collect()
+    }
+    # corrupt every chunk hashed into shard 1 (of 2)
+    shard = F.pmod(F.xxhash64("source", "part_id"), F.lit(2))
+    bad = chunks.withColumn(
+        "blob", F.when(shard == 1, F.expr("substring(blob, 1, 40)")).otherwise(F.col("blob"))
+    ).cache()
+    k = bad.filter(shard == 1).count()
+    assert k > 0
+    out = str(tmp_path / "dec2")
+    # budget 0: shard 0 commits clean, shard 1 exceeds and must NOT commit
+    # at budget 0 the abort comes from the task-side self-check (CBSP205
+    # wrapped by the driver); with a looser budget it comes from the
+    # driver-side pre-commit check ("NOT committed") — both must leave the
+    # over-budget shard uncommitted
+    with pytest.raises(ErrorBudgetExceededError):
+        run_decode_resumable(
+            bad, out, options=DecodeOptions(policy="lenient", max_errors=0),
+            n_shards=2,
+        )
+    shards_root = os.path.join(out, "shards")
+    committed = [
+        d for d in os.listdir(shards_root)
+        if os.path.exists(os.path.join(shards_root, d, "_SUCCESS"))
+    ]
+    assert committed == ["__shard=00000"]
+    # fix the table and resume: only shard 1 re-decodes, output complete
+    summary = run_decode_resumable(chunks, out, n_shards=2)
+    assert summary["shards_skipped"] == 1 and summary["shards_done"] == 1
+    got = {
+        (r["doc_id"], tuple(r["tokens"]))
+        for r in read_decoded(spark, out).collect()
+    }
+    assert got == truth
+    # cumulative accounting: a lenient run that skips k corrupt chunks
+    # records them in the shard; a later resume reports the SAME total
+    out3 = str(tmp_path / "dec3")
+    s1 = run_decode_resumable(
+        bad, out3, options=DecodeOptions(policy="lenient", max_errors=k),
+        n_shards=2,
+    )
+    assert s1["n_errors"] == k
+    s2 = run_decode_resumable(
+        bad, out3, options=DecodeOptions(policy="lenient", max_errors=k),
+        n_shards=2,
+    )
+    assert s2["shards_done"] == 0 and s2["n_errors"] == k  # from sidecars
