@@ -418,6 +418,45 @@ def _q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GPT-style concat-and-chunk sequence packing (operators/packing.py):
+    # per source, docs concatenate in doc_id order and cut every 512
+    # tokens. The Spark side aggregates the MATERIALIZED packed arrays
+    # (order-sensitive positional checksum), the oracle re-derives the same
+    # numbers from position arithmetic over the raw table — so a slice
+    # misplaced anywhere in the shuffle/reassembly breaks the hash.
+    from copybook_rs_spark.operators.packing import pack_sequences
+
+    tok = token_table(spark, sf_dir)
+    packed = pack_sequences(tok, 512)
+    return packed.groupBy("source").agg(
+        F.count("*").alias("n_seqs"),
+        F.sum((F.col("n_tokens") == 512).cast("long")).alias("n_full"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_docs").cast("bigint").alias("n_doc_slices"),
+        F.sum(
+            F.expr(
+                "aggregate(transform(tokens, (x, i) -> (cast(i as bigint) + 1)"
+                " * cast(x as bigint)), cast(0 as bigint), (a, y) -> a + y)"
+            )
+        ).alias("pack_checksum"),
+    )
+
+
+def _q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic stratified train/val/test split by md5-bucket of doc_id
+    # (operators/packing.py:split_train_val) — no RNG, engine-independent
+    from copybook_rs_spark.operators.packing import split_train_val
+
+    tok = token_table(spark, sf_dir)
+    return split_train_val(tok, train_pct=80, val_pct=10).groupBy(
+        "source", "split"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+
+
 def _q_decimal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decimal(p,s) extra column (the reference's zoned/packed-decimal type
     # authority: crates/copybook-arrow/src/schema_convert.rs:129-140 maps
@@ -602,6 +641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "int64_roundtrip": _q_int64_roundtrip,
         "extras_roundtrip": _q_extras_roundtrip,
         "decimal_roundtrip": _q_decimal_roundtrip,
+        "sequence_pack": _q_sequence_pack,
+        "data_split": _q_data_split,
         "embeddings_roundtrip": _q_embeddings_roundtrip,
         "text_roundtrip": _q_text_roundtrip,
         "stats_minmax": _q_stats_minmax,
@@ -713,6 +754,44 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             GROUP BY source
+        """,
+        "sequence_pack": f"""
+            WITH cum AS (
+              SELECT source, tokens, n_tok,
+                     sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tok
+                       AS cum_start
+              FROM {_TOK}
+              WHERE n_tok > 0
+            )
+            SELECT source,
+                   CAST((sum(n_tok) + 511) // 512 AS BIGINT) AS n_seqs,
+                   CAST(sum(n_tok) // 512 AS BIGINT) AS n_full,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                   CAST(sum((cum_start + n_tok - 1) // 512
+                            - cum_start // 512 + 1) AS BIGINT)
+                     AS n_doc_slices,
+                   CAST(sum(list_sum(list_transform(tokens,
+                        (x, i) -> (((cum_start + i - 1) % 512) + 1)
+                                  * CAST(x AS BIGINT)))) AS BIGINT)
+                     AS pack_checksum
+            FROM cum
+            GROUP BY source
+        """,
+        "data_split": f"""
+            SELECT source,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens
+            FROM (
+              SELECT source, n_tok,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 100 AS b
+              FROM {_TOK}
+            )
+            GROUP BY 1, 2
         """,
         "dedup_near": text_sql.dedup_near_oracle_sql(),
         "embedding_dedup": text_sql.embedding_dedup_oracle_sql(),

@@ -1,0 +1,126 @@
+"""Training-sequence packing + deterministic dataset splits.
+
+Two training-data-pipeline operators the compression engine's consumers
+need between "deduped token table" and "training loader":
+
+- `pack_sequences`: GPT-style concat-and-chunk packing — per source,
+  documents are concatenated in deterministic doc_id order and cut into
+  fixed-length sequences of `seq_len` tokens (documents legally span
+  sequence boundaries; the final sequence per source may be short). The
+  Spark-first formulation ships ARRAY SLICES through the one unavoidable
+  shuffle (seq-keyed), never individual tokens: each doc contributes one
+  row per sequence it overlaps (almost always 1-2), carrying the slice of
+  its token array that lands there.
+- `split_train_val`: deterministic stratified train/val/test assignment by
+  a content hash of doc_id (md5-prefix bucket mod 100) — stable across
+  runs, cluster sizes, and engines (the same arithmetic is expressible in
+  ANSI SQL, so the driver oracle recomputes it independently).
+
+Scale notes: the per-source running token count uses a window over the
+(doc_id, n_tok) pairs only — narrow rows, no token data — but it is one
+task per source; for a production 100 TB run with few giant sources,
+pre-split sources into ordered subsources (the salting pattern of
+plans/partition.py) before packing. The heavy data movement (token
+slices -> sequences) is seq-keyed and fully parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def pack_sequences(
+    df: DataFrame, seq_len: int, doc_order: str = "doc_id"
+) -> DataFrame:
+    """Token table -> packed-sequence table
+    (source, seq_id, tokens, n_tokens, n_docs).
+
+    Deterministic: sequence content is a pure function of the data — the
+    concat order is (source, doc_order), positions come from an exact
+    running sum, and the per-sequence reassembly sorts slices by their
+    global start offset. Every sequence has exactly seq_len tokens except
+    the last one per source. Zero-token documents contribute nothing."""
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    L = F.lit(int(seq_len)).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("__ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = df.select(
+        "source", F.col(doc_order).alias("__ord"), "tokens",
+        F.size("tokens").cast("long").alias("__len"),
+    ).withColumn("__cum_end", F.sum("__len").over(w))
+    cum = cum.withColumn("__cum_start", F.col("__cum_end") - F.col("__len"))
+    parts = (
+        cum.filter(F.col("__len") > 0)
+        .withColumn(
+            "__seq",
+            # integer `div`, not float division: exact at any token count
+            # (float64 would wobble past 2^53 global positions)
+            F.explode(
+                F.sequence(
+                    F.expr(f"__cum_start div {int(seq_len)}"),
+                    F.expr(f"(__cum_end - 1) div {int(seq_len)}"),
+                )
+            ),
+        )
+        # slice of THIS doc's array landing in sequence __seq (1-based
+        # slice(); bounds clamped to the doc and to the sequence window)
+        .withColumn(
+            "__from",
+            F.greatest(F.col("__seq") * L - F.col("__cum_start"), F.lit(0)),
+        )
+        .withColumn(
+            "__to",
+            F.least((F.col("__seq") + 1) * L, F.col("__cum_end"))
+            - F.col("__cum_start"),
+        )
+        .select(
+            "source",
+            F.col("__seq").alias("seq_id"),
+            F.col("__cum_start").alias("__start"),
+            F.expr(
+                "slice(tokens, cast(__from + 1 as int), "
+                "cast(__to - __from as int))"
+            ).alias("__part"),
+        )
+    )
+    return (
+        parts.groupBy("source", "seq_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__start", "__part"))),
+                    lambda x: x["__part"],
+                )
+            ).alias("tokens"),
+            F.count("*").alias("n_docs"),
+        )
+        .withColumn("n_tokens", F.size("tokens"))
+        .select("source", "seq_id", "tokens", "n_tokens", "n_docs")
+    )
+
+
+def split_train_val(
+    df: DataFrame,
+    key: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Add a deterministic `split` column ('train' / 'val' / 'test') from a
+    content hash of `key`: bucket = first 8 md5 hex chars as an integer,
+    mod 100. Stable across runs, partitionings, and engines — no RNG, no
+    salt. Remaining (100 - train - val) percent is 'test'."""
+    if not (0 <= train_pct and 0 <= val_pct and train_pct + val_pct <= 100):
+        raise ValueError("invalid split percentages")
+    bucket = F.expr(
+        f"pmod(conv(substr(md5(cast({key} as string)), 1, 8), 16, 10), 100)"
+    ).cast("int")
+    return df.withColumn(
+        "split",
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

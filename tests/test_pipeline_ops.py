@@ -772,3 +772,73 @@ def test_unfilter_row_matches_naive_reference_all_filters_all_bpp():
                     naive(f, cur, prev, bpp),
                     err_msg=f"f={f} bpp={bpp} w={w}",
                 )
+
+
+def test_pack_sequences_exact_concat_and_chunk(spark):
+    # packing must equal "concatenate per source in doc_id order, cut every
+    # L tokens": verify against a driver-side reference on a mixed corpus
+    # with docs shorter, equal to, and much longer than L
+    from copybook_rs_spark.operators.packing import pack_sequences
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(120):
+        n = int(rng.choice([1, 3, 16, 17, 40]))
+        toks = [int(x) for x in rng.integers(0, 1000, n)]
+        rows.append((f"d{i:04d}", toks, n, f"s{i % 3}"))
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    L = 16
+    packed = pack_sequences(df, L).collect()
+    # reference packing
+    ref = {}
+    by_src = {}
+    for doc_id, toks, n, src in sorted(rows):
+        by_src.setdefault(src, []).extend(toks)
+    for src, stream in by_src.items():
+        for k in range(0, (len(stream) + L - 1) // L):
+            ref[(src, k)] = stream[k * L : (k + 1) * L]
+    got = {(r["source"], r["seq_id"]): list(r["tokens"]) for r in packed}
+    assert got == ref
+    # every sequence is exactly L except the last per source
+    for r in packed:
+        last = max(k for s, k in ref if s == r["source"])
+        assert r["n_tokens"] == L or r["seq_id"] == last
+    # determinism across parallelism
+    again = {
+        (r["source"], r["seq_id"]): list(r["tokens"])
+        for r in pack_sequences(df.repartition(7), L).collect()
+    }
+    assert again == ref
+
+
+def test_pack_sequences_long_doc_spans_many(spark):
+    # one 100-token doc at L=8 spans 13+ sequences; slices must reassemble
+    from copybook_rs_spark.operators.packing import pack_sequences
+
+    toks = list(range(100))
+    df = spark.createDataFrame(
+        [("a", toks, 100, "x"), ("b", [7, 8], 2, "x")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    packed = sorted(pack_sequences(df, 8).collect(), key=lambda r: r["seq_id"])
+    stream = toks + [7, 8]
+    assert [t for r in packed for t in r["tokens"]] == stream
+    assert packed[0]["n_docs"] == 1 and packed[12]["n_docs"] == 2
+
+
+def test_split_train_val_deterministic_and_stratified(spark, docs):
+    from copybook_rs_spark.operators.packing import split_train_val
+
+    s = split_train_val(docs, train_pct=80, val_pct=10)
+    counts = {r["split"]: r["n"] for r in s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = docs.count()
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / n - 0.8) < 0.1
+    # deterministic: rerun identical
+    a = {r["doc_id"]: r["split"] for r in s.select("doc_id", "split").collect()}
+    b = {r["doc_id"]: r["split"] for r in split_train_val(docs).select("doc_id", "split").collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        split_train_val(docs, train_pct=95, val_pct=10)
