@@ -29,8 +29,68 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _distributed_prefix_sum(base: DataFrame) -> DataFrame:
+    """Per-source running token count WITHOUT a one-task-per-source window:
+    the classic two-phase distributed prefix sum, on the NARROW (source,
+    __ord, __len) triples only (token arrays never ride through it).
+
+    1. Range-partition by (source, __ord) and sort within partitions —
+       boundaries come from Spark's sampling, so PARALLELISM varies run to
+       run, but the running sums are a pure function of the total order and
+       therefore deterministic.
+    2. One tiny aggregate (partitions x sources rows) collected to the
+       driver gives each (partition, source) its global offset.
+    3. A local window inside each range partition adds offset + local
+       cumsum; token arrays are joined back on the (source, __ord) key.
+    """
+    spark = base.sparkSession
+    p = max(spark.sparkContext.defaultParallelism, 2)
+    # persisted: the totals pass and the cumsum pass must observe the SAME
+    # partition ids — a re-evaluated repartitionByRange re-samples its
+    # boundaries, and spark_partition_id is only meaningful per evaluation.
+    # Narrow rows only (3 small columns), never the token arrays.
+    narrow = (
+        base.select("source", "__ord", "__len")
+        .repartitionByRange(p, "source", "__ord")
+        .sortWithinPartitions("source", "__ord")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = (
+        narrow.groupBy("__pid", "source")
+        .agg(F.sum("__len").alias("__t"))
+        .collect()
+    )
+    by_src: dict = {}
+    offsets = {}
+    for r in sorted(totals, key=lambda r: (r["source"], r["__pid"])):
+        key = (r["__pid"], r["source"])
+        offsets[key] = by_src.get(r["source"], 0)
+        by_src[r["source"]] = offsets[key] + int(r["__t"])
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, src, off) for (pid, src), off in offsets.items()],
+            "__pid int, source string, __off long",
+        )
+    )
+    wl = (
+        Window.partitionBy("__pid", "source")
+        .orderBy("__ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_narrow = (
+        narrow.join(off_df, ["__pid", "source"])
+        .withColumn("__cum_end", F.col("__off") + F.sum("__len").over(wl))
+        .select("source", "__ord", "__cum_end")
+    )
+    return base.join(cum_narrow, ["source", "__ord"])
+
+
 def pack_sequences(
-    df: DataFrame, seq_len: int, doc_order: str = "doc_id"
+    df: DataFrame,
+    seq_len: int,
+    doc_order: str = "doc_id",
+    distributed_cumsum: bool = True,
 ) -> DataFrame:
     """Token table -> packed-sequence table
     (source, seq_id, tokens, n_tokens, n_docs).
@@ -43,15 +103,19 @@ def pack_sequences(
     if seq_len < 1:
         raise ValueError("seq_len must be >= 1")
     L = F.lit(int(seq_len)).cast("long")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("__ord")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = df.select(
+    base = df.select(
         "source", F.col(doc_order).alias("__ord"), "tokens",
         F.size("tokens").cast("long").alias("__len"),
-    ).withColumn("__cum_end", F.sum("__len").over(w))
+    )
+    if distributed_cumsum:
+        cum = _distributed_prefix_sum(base)
+    else:
+        w = (
+            Window.partitionBy("source")
+            .orderBy("__ord")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = base.withColumn("__cum_end", F.sum("__len").over(w))
     cum = cum.withColumn("__cum_start", F.col("__cum_end") - F.col("__len"))
     parts = (
         cum.filter(F.col("__len") > 0)

@@ -842,3 +842,32 @@ def test_split_train_val_deterministic_and_stratified(spark, docs):
     assert a == b
     with pytest.raises(ValueError):
         split_train_val(docs, train_pct=95, val_pct=10)
+
+
+def test_pack_sequences_distributed_cumsum_matches_window(spark):
+    # the two-phase distributed prefix sum must produce exactly the same
+    # packing as the single-window reference path, at several parallelisms
+    from copybook_rs_spark.operators.packing import pack_sequences
+
+    rng = np.random.default_rng(13)
+    rows = [
+        (f"d{i:04d}", [int(x) for x in rng.integers(0, 500, int(rng.integers(1, 30)))],
+         0, f"s{i % 4}")
+        for i in range(200)
+    ]
+    rows = [(d, t, len(t), s) for d, t, _, s in rows]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    want = {
+        (r["source"], r["seq_id"]): list(r["tokens"])
+        for r in pack_sequences(df, 32, distributed_cumsum=False).collect()
+    }
+    for reparts in (1, 5, 23):
+        got = {
+            (r["source"], r["seq_id"]): list(r["tokens"])
+            for r in pack_sequences(
+                df.repartition(reparts), 32, distributed_cumsum=True
+            ).collect()
+        }
+        assert got == want, reparts
