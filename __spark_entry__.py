@@ -440,6 +440,12 @@ def _q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " * cast(x as bigint)), cast(0 as bigint), (a, y) -> a + y)"
             )
         ).alias("pack_checksum"),
+        F.sum(
+            F.expr(
+                "aggregate(transform(boundaries, b -> (seq_id + 1) * "
+                "(cast(b as bigint) + 1)), cast(0 as bigint), (a, y) -> a + y)"
+            )
+        ).alias("boundary_checksum"),
     )
 
 
@@ -774,7 +780,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(list_sum(list_transform(tokens,
                         (x, i) -> (((cum_start + i - 1) % 512) + 1)
                                   * CAST(x AS BIGINT)))) AS BIGINT)
-                     AS pack_checksum
+                     AS pack_checksum,
+                   CAST(sum((cum_start // 512 + 1) * (cum_start % 512 + 1))
+                        AS BIGINT) AS boundary_checksum
             FROM cum
             GROUP BY source
         """,

@@ -16,12 +16,12 @@ need between "deduped token table" and "training loader":
   runs, cluster sizes, and engines (the same arithmetic is expressible in
   ANSI SQL, so the driver oracle recomputes it independently).
 
-Scale notes: the per-source running token count uses a window over the
-(doc_id, n_tok) pairs only — narrow rows, no token data — but it is one
-task per source; for a production 100 TB run with few giant sources,
-pre-split sources into ordered subsources (the salting pattern of
-plans/partition.py) before packing. The heavy data movement (token
-slices -> sequences) is seq-keyed and fully parallel.
+Scale notes: the per-source running token count defaults to a two-phase
+DISTRIBUTED prefix sum over the narrow (source, order, length) triples
+(`_distributed_prefix_sum`) — no one-task-per-source window anywhere; the
+single-window variant remains available (distributed_cumsum=False) as the
+equivalence reference. The heavy data movement (token slices -> sequences)
+is seq-keyed and fully parallel.
 """
 
 from __future__ import annotations
@@ -93,7 +93,9 @@ def pack_sequences(
     distributed_cumsum: bool = True,
 ) -> DataFrame:
     """Token table -> packed-sequence table
-    (source, seq_id, tokens, n_tokens, n_docs).
+    (source, seq_id, tokens, n_tokens, n_docs, boundaries) — boundaries =
+    sorted in-sequence offsets where a new document starts (for
+    block-diagonal attention masking over packed sequences).
 
     Deterministic: sequence content is a pure function of the data — the
     concat order is (source, doc_order), positions come from an exact
@@ -149,6 +151,14 @@ def pack_sequences(
                 "slice(tokens, cast(__from + 1 as int), "
                 "cast(__to - __from as int))"
             ).alias("__part"),
+            # where a NEW document begins inside this sequence (__from == 0
+            # means the slice is the doc's first token): its in-sequence
+            # offset — trainers need these for block-diagonal attention
+            # masks over packed sequences
+            F.when(
+                F.col("__from") == 0,
+                (F.col("__cum_start") - F.col("__seq") * L).cast("int"),
+            ).alias("__bnd"),
         )
     )
     return (
@@ -160,10 +170,13 @@ def pack_sequences(
                     lambda x: x["__part"],
                 )
             ).alias("tokens"),
+            F.array_sort(F.collect_list("__bnd")).alias("boundaries"),
             F.count("*").alias("n_docs"),
         )
         .withColumn("n_tokens", F.size("tokens"))
-        .select("source", "seq_id", "tokens", "n_tokens", "n_docs")
+        .select(
+            "source", "seq_id", "tokens", "n_tokens", "n_docs", "boundaries"
+        )
     )
 
 

@@ -871,3 +871,20 @@ def test_pack_sequences_distributed_cumsum_matches_window(spark):
             ).collect()
         }
         assert got == want, reparts
+
+
+def test_pack_sequences_boundaries(spark):
+    # boundaries = in-sequence offsets where a new doc starts; docs that
+    # continue from the previous sequence contribute NO boundary there
+    from copybook_rs_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [("a", list(range(5)), 5, "x"),    # starts seq0 @0
+         ("b", list(range(10)), 10, "x"),  # starts seq0 @5, spans into seq1
+         ("c", [1, 2], 2, "x")],           # starts seq1 @7
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    packed = {r["seq_id"]: r for r in pack_sequences(df, 8).collect()}
+    assert list(packed[0]["boundaries"]) == [0, 5]
+    assert list(packed[1]["boundaries"]) == [7]  # 'b' continues, no mark
+    assert packed[1]["n_docs"] == 2
