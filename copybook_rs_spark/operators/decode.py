@@ -644,6 +644,18 @@ def _fs_write_small(spark, fs, path, text: str) -> None:
         out.close()
 
 
+def _fs_write_small_atomic(spark, fs, path, text: str) -> None:
+    """Write-temp-then-rename: a crash mid-write can never leave a
+    truncated file at `path` (review finding: a half-written resume meta
+    bricked every later resume with a raw JSONDecodeError)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    tmp = jpath(str(path) + ".__tmp__")
+    _fs_write_small(spark, fs, tmp, text)
+    fs.delete(path, False)
+    if not fs.rename(tmp, path):
+        raise EngineError(f"failed to publish {path}", code="CBSP301")
+
+
 _RESUME_META = "_RESUME_META.json"
 _SHARD_ERRORS = "_shard_errors.json"
 
@@ -666,22 +678,34 @@ def run_decode_resumable(
     Resume correctness:
     - Shard membership is a pure function of the data, never of
       parallelism; decode is bit-deterministic.
-    - The FIRST run persists {n_shards, n_chunks} to _RESUME_META.json;
-      a resume validates both and raises typed CBSP301 on mismatch —
-      resuming with a different n_shards (silent data loss/duplication) or
-      against a changed chunk table can never succeed silently.
+    - The FIRST run persists {n_shards} to _RESUME_META.json (atomic
+      temp+rename); a resume validates it and raises typed CBSP301 on
+      mismatch or on a missing/corrupt meta next to committed shards —
+      resuming with a different n_shards (silent re-map = data loss) can
+      never succeed silently.
     - A shard commits by writing to a hidden .staging- dir (Spark job
-      commit) and then a single atomic rename, WITH its own error count
-      (_shard_errors.json) inside — so a shard is committed if and only if
-      its errors are accounted. Partial staging/final dirs from killed
-      jobs are wiped on resume.
+      commit) and then a single atomic rename, WITH a sidecar
+      (_shard_errors.json) recording its error count AND its chunk
+      membership fingerprint (count + chunk_id hash sum). On resume, a
+      committed shard whose membership no longer matches the current chunk
+      table — chunks repaired by deletion, or new chunks arrived — is
+      invalidated and re-decoded, so resume always CONVERGES to the table
+      it was given instead of refusing or silently drifting. Partial
+      staging/final dirs from killed jobs are wiped.
     - The lenient error budget is CUMULATIVE across runs (baseline = sum
       of committed shards' recorded errors) and checked BEFORE the shard
       commits: an over-budget shard is dropped, stays pending, and is
       re-decoded after the table is repaired — mirroring run_decode's
-      "no complete-looking dataset past the budget" stance. The final
-      _DECODE_COMPLETE marker is written only after every shard committed
-      within budget; read_decoded refuses datasets without it.
+      "no complete-looking dataset past the budget" stance, and the
+      check runs again before the final marker (so re-invoking with a
+      TIGHTER budget over fully-committed shards fails typed instead of
+      re-certifying). The _DECODE_COMPLETE marker is written only after
+      every shard committed within budget; read_decoded refuses datasets
+      without it. Caveat (inherited from run_decode's accumulator
+      semantics): if a SUCCEEDED task is re-executed (speculation, stage
+      retry), its errors count again and the inflated number is what the
+      shard sidecar records — the persisted budget is conservative, never
+      permissive; audit_chunks gives the exact count for forensics.
 
     Scale note: each shard job re-scans the chunk table's metadata and
     filters on the computed shard id (no partition pruning), but the filter
@@ -704,64 +728,103 @@ def run_decode_resumable(
     fs, root_p = _hadoop_path(spark, shards_root)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
 
-    # ---- resume metadata: pin n_shards + input-table identity
-    n_chunks = chunk_df.count()
-    meta_path = jpath(os.path.join(out_dir, _RESUME_META))
-    if fs.exists(meta_path):
-        meta = _json.loads(_fs_read_small(spark, fs, meta_path))
-        if meta["n_shards"] != n_shards:
-            raise EngineError(
-                f"resume with n_shards={n_shards} but {out_dir!r} was "
-                f"started with n_shards={meta['n_shards']} — shard "
-                "membership would silently re-map (data loss); pass the "
-                "original value or start a fresh out_dir",
-                code="CBSP301",
-            )
-        if meta["n_chunks"] != n_chunks:
-            raise EngineError(
-                f"resume against a changed chunk table ({n_chunks} chunks "
-                f"now vs {meta['n_chunks']} at start) — committed shards "
-                "would be missing the new chunks; start a fresh out_dir "
-                "(or decode the delta separately)",
-                code="CBSP301",
-            )
-    else:
-        parent = meta_path.getParent()
-        if parent is not None and not fs.exists(parent):
-            fs.mkdirs(parent)
-        _fs_write_small(
-            spark, fs, meta_path,
-            _json.dumps({"n_shards": n_shards, "n_chunks": n_chunks}),
+    shard_col = F.pmod(F.xxhash64("source", "part_id"), F.lit(n_shards))
+    # current per-shard membership fingerprints: count + order-independent
+    # chunk_id hash sum (one cheap agg over the pruned chunk_id column)
+    cur_fp = {
+        int(r["__shard"]): (int(r["n"]), int(r["fp"]))
+        for r in chunk_df.withColumn("__shard", shard_col)
+        .groupBy("__shard")
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.crc32(F.col("chunk_id").cast("binary"))), F.lit(0)
+            ).alias("fp"),
         )
+        .collect()
+    }
 
-    # ---- committed shards + their recorded error counts; wipe partials
-    committed: set[int] = set()
-    baseline_errors = 0
+    # ---- committed shards: list dirs first (the meta guard needs to know
+    # whether any exist before trusting a fresh meta write)
+    shard_dirs: list = []
     if fs.exists(root_p):
         for st in fs.listStatus(root_p):
             name = st.getPath().getName()
             if name.startswith(".staging-"):
                 fs.delete(st.getPath(), True)  # killed mid-write
-                continue
-            if not name.startswith("__shard="):
-                continue
-            if fs.exists(jpath(os.path.join(shards_root, name, "_SUCCESS"))):
-                committed.add(int(name[len("__shard="):]))
-                errs_p = jpath(os.path.join(shards_root, name, _SHARD_ERRORS))
-                if fs.exists(errs_p):
-                    baseline_errors += _json.loads(
-                        _fs_read_small(spark, fs, errs_p)
-                    )["n_errors"]
-            else:
-                # a killed job's partial dir: wipe and re-decode
-                fs.delete(st.getPath(), True)
+            elif name.startswith("__shard="):
+                shard_dirs.append(name)
+
+    # ---- resume metadata: pin n_shards (atomic write, typed on corrupt)
+    meta_path = jpath(os.path.join(out_dir, _RESUME_META))
+    if fs.exists(meta_path):
+        try:
+            meta = _json.loads(_fs_read_small(spark, fs, meta_path))
+            meta_shards = int(meta["n_shards"])
+        except Exception as e:
+            raise EngineError(
+                f"corrupt resume metadata at {out_dir!r}/{_RESUME_META} — "
+                "cannot trust the committed shard mapping; start a fresh "
+                "out_dir",
+                code="CBSP301",
+            ) from e
+        if meta_shards != n_shards:
+            raise EngineError(
+                f"resume with n_shards={n_shards} but {out_dir!r} was "
+                f"started with n_shards={meta_shards} — shard membership "
+                "would silently re-map (data loss); pass the original "
+                "value or start a fresh out_dir",
+                code="CBSP301",
+            )
+    elif shard_dirs:
+        raise EngineError(
+            f"{out_dir!r} holds committed shard dirs but no {_RESUME_META} "
+            "— the original n_shards is unknown, so their mapping cannot "
+            "be trusted; start a fresh out_dir",
+            code="CBSP301",
+        )
+    else:
+        parent = meta_path.getParent()
+        if parent is not None and not fs.exists(parent):
+            fs.mkdirs(parent)
+        _fs_write_small_atomic(
+            spark, fs, meta_path, _json.dumps({"n_shards": n_shards})
+        )
+
+    # ---- validate each committed shard's membership against the CURRENT
+    # table: stale shards (repaired-by-deletion chunks, new arrivals) are
+    # invalidated and re-decoded — resume converges, never refuses/drifts
+    committed: set[int] = set()
+    baseline_errors = 0
+    for name in shard_dirs:
+        sdir = os.path.join(shards_root, name)
+        if not fs.exists(jpath(os.path.join(sdir, "_SUCCESS"))):
+            fs.delete(jpath(sdir), True)  # killed job's partial dir
+            continue
+        sid = int(name[len("__shard="):])
+        errs_p = jpath(os.path.join(sdir, _SHARD_ERRORS))
+        side = None
+        if fs.exists(errs_p):
+            try:
+                side = _json.loads(_fs_read_small(spark, fs, errs_p))
+            except Exception:
+                side = None
+        want = cur_fp.get(sid, (0, 0))
+        if (
+            side is None
+            or (int(side.get("n_chunks", -1)), int(side.get("fp", -1)))
+            != want
+        ):
+            fs.delete(jpath(sdir), True)  # membership changed: re-decode
+            continue
+        committed.add(sid)
+        baseline_errors += int(side["n_errors"])
     # a pre-existing complete marker is stale the moment we re-run;
     # re-written after this run's budget check
     fs.delete(jpath(os.path.join(out_dir, _COMPLETE_MARKER)), False)
 
     err_acc = sc.accumulator(0)
     sample_acc = sc.accumulator([], _SampleParam())
-    shard_col = F.pmod(F.xxhash64("source", "part_id"), F.lit(n_shards))
     src_all = chunk_df.withColumn("__shard", shard_col)
     shards_done = 0
     for s in range(n_shards):
@@ -798,10 +861,13 @@ def run_decode_resumable(
                 f"{s} ({total} corrupt chunks cumulative); the shard was "
                 "NOT committed — fix the table and resume"
             )
+        n_s, fp_s = cur_fp.get(s, (0, 0))
         _fs_write_small(
             spark, fs,
             jpath(os.path.join(staging, _SHARD_ERRORS)),
-            _json.dumps({"n_errors": shard_errors}),
+            _json.dumps(
+                {"n_errors": shard_errors, "n_chunks": n_s, "fp": fp_s}
+            ),
         )
         if not fs.rename(jpath(staging), jpath(final)):
             raise EngineError(
@@ -811,6 +877,13 @@ def run_decode_resumable(
             )
         shards_done += 1
     total_errors = baseline_errors + int(err_acc.value)
+    if opts.policy == "lenient" and total_errors > opts.max_errors:
+        # also reachable with zero shards decoded this run: re-invoking
+        # with a TIGHTER budget must fail typed, not re-certify the data
+        raise ErrorBudgetExceededError(
+            f"decode recorded {total_errors} corrupt chunks cumulatively "
+            f"> max_errors={opts.max_errors}; completion marker withheld"
+        )
     fs.create(jpath(os.path.join(out_dir, _COMPLETE_MARKER)), True).close()
     return {
         "n_errors": total_errors,

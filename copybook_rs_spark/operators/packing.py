@@ -48,14 +48,37 @@ def _distributed_prefix_sum(base: DataFrame) -> DataFrame:
     # persisted: the totals pass and the cumsum pass must observe the SAME
     # partition ids — a re-evaluated repartitionByRange re-samples its
     # boundaries, and spark_partition_id is only meaningful per evaluation.
-    # Narrow rows only (3 small columns), never the token arrays.
+    # (No sortWithinPartitions here: the local window below sorts by __ord
+    # itself; only the range PARTITIONING matters.) Narrow rows only
+    # (3 small columns), never the token arrays.
     narrow = (
         base.select("source", "__ord", "__len")
         .repartitionByRange(p, "source", "__ord")
-        .sortWithinPartitions("source", "__ord")
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
+    # key-contract check on the cached narrow rows (one tiny agg): the
+    # positions join back on (source, __ord), so null or duplicate keys
+    # would silently DROP or duplicate documents while their lengths still
+    # shift every later position (review finding) — typed error instead
+    chk = narrow.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("source").isNull() | F.col("__ord").isNull(), 1)).alias("n_null"),
+        F.countDistinct("source", "__ord").alias("n_key"),
+    ).collect()[0]
+    if int(chk["n_null"]):
+        narrow.unpersist()
+        raise ValueError(
+            f"pack_sequences: {chk['n_null']} row(s) with null source/order "
+            "key — packing needs non-null (source, doc_order)"
+        )
+    if int(chk["n_key"]) != int(chk["n"]):
+        narrow.unpersist()
+        raise ValueError(
+            f"pack_sequences: duplicate (source, doc_order) keys "
+            f"({chk['n']} rows, {chk['n_key']} distinct) — the concat order "
+            "would be ambiguous and the position join many-to-many"
+        )
     totals = (
         narrow.groupBy("__pid", "source")
         .agg(F.sum("__len").alias("__t"))
@@ -82,7 +105,13 @@ def _distributed_prefix_sum(base: DataFrame) -> DataFrame:
         narrow.join(off_df, ["__pid", "source"])
         .withColumn("__cum_end", F.col("__off") + F.sum("__len").over(wl))
         .select("source", "__ord", "__cum_end")
+        # eager lineage cut: after this the pid-dependent computation can
+        # never be re-evaluated against re-sampled range boundaries, and
+        # the cached narrow table can be released immediately instead of
+        # lingering for the session (review finding)
+        .localCheckpoint(eager=True)
     )
+    narrow.unpersist()
     return base.join(cum_narrow, ["source", "__ord"])
 
 

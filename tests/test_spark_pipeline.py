@@ -730,4 +730,17 @@ def test_jsonl_envelope_float_extras(spark):
     back = from_jsonl(to_jsonl(df, cfg), cfg, on_error="fail")
     assert dict(back.dtypes)["emb"] == "array<float>"
     assert dict(back.dtypes)["scores"] == "array<double>"
-    assert back.count() == 30
+    # bit-exact values, not just schema/count (review finding): compare the
+    # raw IEEE bit patterns through the JSON round-trip
+    import struct as _struct
+
+    def bits(rows):
+        return {
+            r["doc_id"]: (
+                tuple(_struct.pack("<f", v) for v in r["emb"]),
+                tuple(_struct.pack("<d", v) for v in r["scores"]),
+            )
+            for r in rows
+        }
+
+    assert bits(back.collect()) == bits(df.collect())

@@ -468,9 +468,17 @@ def test_run_decode_resumable_survives_mid_run_kill(spark, tmp_path, monkeypatch
 
 def test_run_decode_resumable_meta_guards(spark, tmp_path):
     # review findings: resuming with a different n_shards (silent re-map =
-    # data loss) or against a changed chunk table must raise typed CBSP301
+    # data loss) must raise typed CBSP301, as must committed shards with a
+    # missing/corrupt meta; a CHANGED chunk table instead invalidates the
+    # stale shards and converges to the new table
+    import os
+
     from copybook_rs_spark.errors import EngineError
-    from copybook_rs_spark.operators.decode import run_decode_resumable
+    from copybook_rs_spark.operators.decode import (
+        decode_tokens,
+        read_decoded,
+        run_decode_resumable,
+    )
 
     df = synthetic_tokens(spark, "mixed", 200)
     chunks = encode_tokens(df, CFG).cache()
@@ -478,8 +486,30 @@ def test_run_decode_resumable_meta_guards(spark, tmp_path):
     run_decode_resumable(chunks, out, n_shards=4)
     with pytest.raises(EngineError, match="n_shards"):
         run_decode_resumable(chunks, out, n_shards=8)
-    with pytest.raises(EngineError, match="changed chunk table"):
-        run_decode_resumable(chunks.limit(2), out, n_shards=4)
+    # changed table: shards whose membership changed are re-decoded, the
+    # others (empty in the subset -> mismatch too) are invalidated; the
+    # result equals a fresh decode of the NEW table
+    sub = chunks.limit(2).cache()
+    summary = run_decode_resumable(sub, out, n_shards=4)
+    assert summary["shards_done"] >= 1
+    want = {
+        (r["doc_id"], tuple(r["tokens"]))
+        for r in decode_tokens(sub).collect()
+    }
+    got = {
+        (r["doc_id"], tuple(r["tokens"]))
+        for r in read_decoded(spark, out).collect()
+    }
+    assert got == want
+    # committed shards with no meta file: mapping untrusted -> typed error
+    os.remove(os.path.join(out, "_RESUME_META.json"))
+    with pytest.raises(EngineError, match="no _RESUME_META"):
+        run_decode_resumable(sub, out, n_shards=4)
+    # corrupt meta: typed error, not a raw JSONDecodeError
+    with open(os.path.join(out, "_RESUME_META.json"), "w") as f:
+        f.write("{trunc")
+    with pytest.raises(EngineError, match="corrupt resume metadata"):
+        run_decode_resumable(sub, out, n_shards=4)
 
 
 def test_run_decode_resumable_budget_before_commit_and_cumulative(spark, tmp_path):
@@ -546,3 +576,32 @@ def test_run_decode_resumable_budget_before_commit_and_cumulative(spark, tmp_pat
         n_shards=2,
     )
     assert s2["shards_done"] == 0 and s2["n_errors"] == k  # from sidecars
+
+
+def test_run_decode_resumable_tighter_budget_not_recertified(spark, tmp_path):
+    # review finding: re-invoking over fully-committed shards with a
+    # TIGHTER budget must fail typed instead of rewriting the completion
+    # marker over data that exceeds the caller's stated budget
+    import os
+
+    from copybook_rs_spark.errors import ErrorBudgetExceededError
+    from copybook_rs_spark.operators.decode import (
+        DecodeOptions,
+        run_decode_resumable,
+    )
+
+    df = synthetic_tokens(spark, "mixed", 200)
+    chunks = encode_tokens(df, CFG).cache()
+    bad = chunks.withColumn("blob", F.expr("substring(blob, 1, 40)")).cache()
+    out = str(tmp_path / "dec")
+    k = bad.count()
+    run_decode_resumable(
+        bad, out, options=DecodeOptions(policy="lenient", max_errors=k),
+        n_shards=2,
+    )
+    with pytest.raises(ErrorBudgetExceededError, match="withheld"):
+        run_decode_resumable(
+            bad, out, options=DecodeOptions(policy="lenient", max_errors=0),
+            n_shards=2,
+        )
+    assert not os.path.exists(os.path.join(out, "_DECODE_COMPLETE"))
