@@ -1056,3 +1056,151 @@ def decode_chunk(
             # decodes outside its own certification
             raise PayloadCorruptError("values min/max disagree with header")
     return doc_bytes, doc_lens, lengths, values
+
+
+_DOC_ENC_NAMES = {
+    0: "raw",
+    1: "fsst",
+    2: "front-coded",
+    3: "alphabet-pack",
+    4: "template",
+}
+_VALUES_MODE_NAMES = {0: "plain", 1: "docdelta"}
+
+
+def describe_chunk(blob_bytes: bytes | memoryview) -> dict:
+    """Structural inspection of one chunk blob WITHOUT decompressing any
+    values — header fields, per-section byte sizes, the doc-id byte-stream
+    encoding, the values-section mode, and the full codec tree of every
+    integer payload (codecs/core.py:describe_payload). The chunk-level
+    analogue of the reference's inspect command: debugging one blob out of
+    a 100 TB table costs header reads, not a decode. Raises the usual
+    typed CBSP errors on malformed framing; the body crc IS verified (a
+    description of corrupt bytes would be a lie)."""
+    buf = memoryview(blob_bytes)
+    if len(buf) < HEADER_LEN:
+        raise TruncatedBlobError(f"blob shorter than header: {len(buf)}")
+    (
+        magic, version, vcodec, n_rows, n_values, crc, sd, sl, sv, vmin, vmax,
+    ) = _HEADER.unpack_from(buf)
+    if magic != MAGIC:
+        raise BadMagicError(f"bad magic {magic!r}")
+    if version != VERSION:
+        raise BadVersionError(f"unsupported version {version}")
+    end = HEADER_LEN + sd + sl + sv
+    if len(buf) < end:
+        raise TruncatedBlobError(f"blob truncated: need {end}, have {len(buf)}")
+    body = buf[HEADER_LEN:end]
+    if _body_crc(body, vmin, vmax) != crc:
+        raise CrcMismatchError("chunk body crc32 mismatch")
+    out: dict = {
+        "version": version,
+        "n_rows": n_rows,
+        "n_values": n_values,
+        "vmin": vmin,
+        "vmax": vmax,
+        "bytes": {
+            "total": len(buf),
+            "header": HEADER_LEN,
+            "doc_section": sd,
+            "lengths_section": sl,
+            "values_section": sv,
+            "extras_section": len(buf) - end,
+        },
+    }
+    # doc section: doc-lens payload tree + the byte-stream encoding id
+    doc_sec = body[:sd]
+    if len(doc_sec) >= 4:
+        (dl_len,) = _U32.unpack_from(doc_sec)
+        if 4 + dl_len <= sd:
+            out["doc_lens"] = core.describe_payload(doc_sec[4 : 4 + dl_len])
+            stream = doc_sec[4 + dl_len :]
+            if len(stream):
+                enc = stream[0]
+                out["doc_bytes"] = {
+                    "encoding": _DOC_ENC_NAMES.get(enc, f"unknown({enc})"),
+                    "bytes": len(stream),
+                }
+    out["lengths"] = core.describe_payload(body[sd : sd + sl])
+    # structural cross-checks: the description must not repeat a lying
+    # header — payload-declared counts are compared against it (the
+    # inspection-level analogue of decode's count validation; no values
+    # are decompressed for any of this)
+    if out["lengths"].get("n") != n_rows:
+        raise CountMismatchError(
+            f"lengths payload declares {out['lengths'].get('n')} rows, "
+            f"header says {n_rows}"
+        )
+    if "doc_lens" in out and out["doc_lens"].get("n") != n_rows:
+        raise CountMismatchError("doc_lens payload count != header n_rows")
+    vals_sec = body[sd + sl : sd + sl + sv]
+    if len(vals_sec):
+        mode = vals_sec[0]
+        vdesc: dict = {
+            "mode": _VALUES_MODE_NAMES.get(mode, f"unknown({mode})"),
+            "bytes": sv,
+        }
+        declared = None
+        if mode == 0:
+            vdesc["payload"] = core.describe_payload(vals_sec[1:])
+            declared = vdesc["payload"].get("n")
+        elif mode == 1 and len(vals_sec) >= 5:
+            (f_len,) = _U32.unpack_from(vals_sec, 1)
+            if 5 + f_len <= sv:
+                vdesc["firsts"] = core.describe_payload(vals_sec[5 : 5 + f_len])
+                vdesc["intra"] = core.describe_payload(vals_sec[5 + f_len :])
+                # every token is either a document's first or an intra delta
+                declared = vdesc["firsts"].get("n", 0) + vdesc["intra"].get("n", 0)
+        if declared is not None and declared != n_values:
+            raise CountMismatchError(
+                f"values section declares {declared} values, header says "
+                f"{n_values}"
+            )
+        out["values"] = vdesc
+    # extras: walk the self-delimiting grammar — names/types/sizes and
+    # each column's payload trees, nothing decompressed
+    tail = buf[end:]
+    if len(tail):
+        ex: list[dict] = []
+        if len(tail) >= 5:
+            (ex_crc,) = _U32.unpack_from(tail)
+            bodye = tail[4:]
+            if (zlib.crc32(bodye) & 0xFFFFFFFF) != ex_crc:
+                raise CrcMismatchError("extras section crc32 mismatch")
+            n_extra = bodye[0]
+            off = 1
+            for _ in range(n_extra):
+                nl = bodye[off]
+                off += 1
+                name = bytes(bodye[off : off + nl]).decode("utf-8")
+                off += nl
+                etype = bodye[off]
+                off += 1
+                dec_ps = None
+                if etype == ETYPE_DECIMAL:
+                    dec_ps = (bodye[off], bodye[off + 1])
+                    off += 2
+                (pl_len,) = _U32.unpack_from(bodye, off)
+                off += 4
+                lbuf = bodye[off : off + pl_len]
+                off += pl_len
+                (pv_len,) = _U32.unpack_from(bodye, off)
+                off += 4
+                vbuf = bodye[off : off + pv_len]
+                off += pv_len
+                ename = (
+                    f"decimal({dec_ps[0]},{dec_ps[1]})"
+                    if dec_ps is not None
+                    else ETYPE_NAMES.get(etype, f"unknown({etype})")
+                )
+                col: dict = {
+                    "name": name,
+                    "etype": ename,
+                    "lens": core.describe_payload(lbuf),
+                    "values_bytes": pv_len,
+                }
+                if etype == ETYPE_INT64 or dec_ps is not None:
+                    col["values"] = core.describe_payload(vbuf)
+                ex.append(col)
+        out["extras"] = ex
+    return out

@@ -745,6 +745,82 @@ def _need(buf: memoryview, k: int, what: str) -> None:
         raise TruncatedBlobError(f"payload truncated reading {what}")
 
 
+def describe_payload(payload: bytes | memoryview) -> dict:
+    """Walk a payload's codec tree WITHOUT decompressing any values:
+    {codec, n, bytes, ...params, children: [...]} — the engine's "inspect"
+    surface (the reference ships a copybook-level inspect command; this is
+    its chunk-level analogue for debugging one blob out of a 100 TB table).
+    Raises the same typed CBSP errors as decode_array on malformed framing,
+    but touches only headers and sub-payload lengths."""
+    buf = memoryview(payload)
+    _need(buf, 1, "codec id")
+    cid = buf[0]
+    body = buf[1:]
+    out: dict = {
+        "codec": CODEC_NAMES.get(cid, f"unknown({cid})"),
+        "bytes": len(buf),
+    }
+    if cid not in CODEC_NAMES:
+        raise UnknownCodecError(f"unknown codec id {cid}")
+
+    def _two_subs(rest, what):
+        _need(rest, 4, f"{what} len1")
+        (l1,) = _U32.unpack_from(rest)
+        _need(rest, 4 + l1 + 4, f"{what} sub1")
+        (l2,) = _U32.unpack_from(rest, 4 + l1)
+        _need(rest, 8 + l1 + l2, f"{what} sub2")
+        return (
+            describe_payload(rest[4 : 4 + l1]),
+            describe_payload(rest[8 + l1 : 8 + l1 + l2]),
+        )
+
+    if cid in (CODEC_PLAIN, CODEC_BITPACK):
+        _need(body, 5, "header")
+        n, width = _HDR_PLAIN.unpack_from(body)
+        out.update(n=n, width=width)
+    elif cid == CODEC_FOR:
+        _need(body, 12, "for header")
+        n, ref = _HDR_FOR.unpack_from(body)
+        out.update(n=n, ref=ref, children=[describe_payload(body[12:])])
+    elif cid == CODEC_DELTA:
+        _need(body, 4, "delta header")
+        (n,) = _U32.unpack_from(body)
+        out.update(n=n, children=[describe_payload(body[4:])])
+    elif cid == CODEC_RLE:
+        _need(body, 8, "rle header")
+        n, n_runs = _HDR_RLE.unpack_from(body)
+        values, lengths = _two_subs(body[8:], "rle")
+        out.update(n=n, n_runs=n_runs, children=[values, lengths])
+    elif cid == CODEC_DICT:
+        _need(body, 8, "dict header")
+        n, d = _HDR_RLE.unpack_from(body)
+        uniques, indices = _two_subs(body[8:], "dict")
+        out.update(n=n, n_distinct=d, children=[uniques, indices])
+    elif cid == CODEC_PATCH:
+        _need(body, 16, "patch header")
+        n, mode, n_exc = _HDR_PATCH.unpack_from(body)
+        gaps, vals = _two_subs(body[16:], "patch")
+        out.update(n=n, mode=mode, n_exceptions=n_exc, children=[gaps, vals])
+    elif cid == CODEC_PFOR:
+        _need(body, 17, "pfor header")
+        n, ref, w, n_exc = _HDR_PFOR.unpack_from(body)
+        packed = bp.packed_size(n, w)
+        _need(body, 17 + packed, "pfor packed data")
+        gaps, high = _two_subs(body[17 + packed :], "pfor")
+        out.update(
+            n=n, ref=ref, width=w, n_exceptions=n_exc,
+            packed_bytes=packed, children=[gaps, high],
+        )
+    elif cid == CODEC_FSST:
+        _need(body, 5, "fsst header")
+        (n,) = _U32.unpack_from(body)
+        passes = body[4]
+        out.update(n=n, passes=passes)
+    else:  # e.g. CODEC_DOCDELTA: a chunk-level mode tag, never a payload id
+        raise UnknownCodecError(f"codec id {cid} is not a payload codec")
+    return out
+
+
 def decode_array(payload: bytes | memoryview) -> np.ndarray:
     """Inverse of encode_array; returns int64 array. Raises structured errors
     on corruption (never returns wrong data silently)."""

@@ -437,3 +437,48 @@ def test_decode_extras_projection():
     bad[len(plain) + 12] ^= 0x10
     with pytest.raises(EngineError):
         blob.decode_extras(bytes(bad), 30, names={"emb"})
+
+
+def test_describe_chunk_codec_tree():
+    # structural inspection: no decompression, full codec tree, typed
+    # errors on tampering — and the description agrees with the real chunk
+    import numpy as np
+
+    from copybook_rs_spark import blob
+    from copybook_rs_spark.codecs import core
+    from copybook_rs_spark.errors import EngineError
+
+    rng = np.random.default_rng(9)
+    n = 200
+    lens = rng.integers(1, 30, n).astype(np.int64)
+    vals = (np.repeat(rng.integers(0, 30000, n), lens)
+            + np.concatenate([np.arange(l) for l in lens])).astype(np.int64)
+    docs = [f"web/{i:06d}" for i in range(n)]
+    db = "".join(docs).encode()
+    dl = np.array([len(d) for d in docs], dtype=np.int64)
+    b, info = blob.encode_chunk(
+        db, dl, lens, vals,
+        extras=[("price", "decimal(10,2)", np.ones(n, dtype=np.int64),
+                 rng.integers(-10**8, 10**8, n).astype(np.int64))],
+    )
+    d = blob.describe_chunk(b)
+    assert d["version"] == blob.VERSION
+    assert d["n_rows"] == n and d["n_values"] == int(lens.sum())
+    assert d["vmin"] == int(vals.min()) and d["vmax"] == int(vals.max())
+    assert d["bytes"]["total"] == len(b)
+    assert sum(v for k, v in d["bytes"].items() if k != "total") == len(b)
+    assert d["lengths"]["n"] == n
+    assert d["extras"][0]["name"] == "price"
+    assert d["extras"][0]["etype"] == "decimal(10,2)"
+    # describe_payload agrees with decode on every profile of encode_array
+    for v in (vals, lens, np.sort(vals)):
+        p, used = core.encode_array(v, "auto")
+        desc = core.describe_payload(p)
+        assert desc["codec"] == used and desc["bytes"] == len(p)
+        assert desc.get("n", len(v)) == len(v)
+    # tampering anywhere still raises typed errors
+    for pos in (10, len(b) // 2, len(b) - 5):
+        t = bytearray(b)
+        t[pos] ^= 0x10
+        with pytest.raises(EngineError):
+            blob.describe_chunk(bytes(t))
