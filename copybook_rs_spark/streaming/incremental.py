@@ -216,3 +216,57 @@ def incremental_encode(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_decode(
+    spark: SparkSession,
+    chunks_dir: str,
+    out_dir: str,
+    cfg: EncodeConfig | None = None,
+    columns: list | None = None,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Streaming decode: watch a growing chunk-table directory and decode
+    each micro-batch of NEW chunk files into a growing token-table
+    directory — the consumer-side twin of incremental_encode (the
+    reference's RecordIterator read loop, crates/copybook-codec/src/
+    iterator.rs:259, as a Structured Streaming source).
+
+    Exactly-once comes from Spark's file-source checkpoint (a chunk file is
+    read by exactly one micro-batch) plus per-batch append of decoded rows;
+    chunk decode is bit-deterministic, so replays after a crash rewrite
+    identical rows into the batch's own overwrite directory. Per-trigger
+    work is O(new chunks), never O(table)."""
+    from copybook_rs_spark.operators.decode import _plan_decode, make_decode_kernel
+
+    cfg = cfg or EncodeConfig()
+    checkpoint = os.path.join(out_dir, "_checkpoint")
+    from copybook_rs_spark.operators.encode import CHUNK_SCHEMA
+
+    stream = (
+        spark.readStream.schema(CHUNK_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(chunks_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        src, cols, out_pa, out_spark, tok64 = _plan_decode(
+            batch_df, columns, cfg
+        )
+        decoded = src.mapInArrow(
+            make_decode_kernel(cols, out_pa, tok64=tok64), out_spark
+        )
+        # per-batch overwrite dir = idempotent replay, same stance as
+        # commit_batch on the encode side
+        decoded.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "tokens", f"batch=b{batch_id:08d}")
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

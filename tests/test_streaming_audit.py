@@ -605,3 +605,32 @@ def test_run_decode_resumable_tighter_budget_not_recertified(spark, tmp_path):
             n_shards=2,
         )
     assert not os.path.exists(os.path.join(out, "_DECODE_COMPLETE"))
+
+
+def test_incremental_decode_stream(spark, tmp_path):
+    # consumer-side streaming: decode NEW chunk files per micro-batch into
+    # a growing token table; replays exactly-once, output bit-identical
+    import os
+
+    from copybook_rs_spark.streaming.incremental import incremental_decode
+
+    df = synthetic_tokens(spark, "mixed", 500).cache()
+    chunks_dir = str(tmp_path / "chunks")
+    out_dir = str(tmp_path / "dectok")
+    a = df.filter("n_tok % 2 = 0")
+    b = df.filter("n_tok % 2 = 1")
+    encode_tokens(a, CFG).write.mode("append").parquet(chunks_dir)
+    q = incremental_decode(spark, chunks_dir, out_dir, CFG)
+    q.awaitTermination(120)
+    encode_tokens(b, CFG).write.mode("append").parquet(chunks_dir)
+    q2 = incremental_decode(spark, chunks_dir, out_dir, CFG)
+    q2.awaitTermination(120)
+    got = spark.read.parquet(os.path.join(out_dir, "tokens"))
+    assert got.count() == df.count()  # exactly-once across batches
+    bad = (
+        df.select("doc_id", F.col("tokens").alias("ta"))
+        .join(got.select("doc_id", F.col("tokens").alias("tb")), "doc_id", "full_outer")
+        .filter(F.col("ta").isNull() | F.col("tb").isNull() | (F.col("ta") != F.col("tb")))
+        .count()
+    )
+    assert bad == 0
