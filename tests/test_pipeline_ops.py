@@ -888,3 +888,56 @@ def test_pack_sequences_boundaries(spark):
     assert list(packed[0]["boundaries"]) == [0, 5]
     assert list(packed[1]["boundaries"]) == [7]  # 'b' continues, no mark
     assert packed[1]["n_docs"] == 2
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 2),  # source index
+            st.lists(st.integers(0, 10**6), min_size=0, max_size=40),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    L=st.integers(1, 17),
+)
+def test_pack_sequences_property_matches_reference(spark, data, L):
+    # property: for ANY doc mix (incl. empty docs) and ANY seq_len, packing
+    # equals the literal concat-and-chunk reference computed driver-side
+    from copybook_rs_spark.operators.packing import pack_sequences
+
+    rows = [
+        (f"d{i:04d}", toks, len(toks), f"s{srci}")
+        for i, (srci, toks) in enumerate(data)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    got = {
+        (r["source"], r["seq_id"]): (list(r["tokens"]), list(r["boundaries"]))
+        for r in pack_sequences(df, L).collect()
+    }
+    streams: dict = {}
+    bounds: dict = {}
+    for doc_id, toks, n, src in sorted(rows):
+        if n == 0:
+            continue
+        start = len(streams.setdefault(src, []))
+        streams[src].extend(toks)
+        bounds.setdefault(src, []).append(start)
+    want = {}
+    for src, stream in streams.items():
+        per_seq_bounds: dict = {}
+        for b in bounds[src]:
+            per_seq_bounds.setdefault(b // L, []).append(b % L)
+        for k in range((len(stream) + L - 1) // L):
+            want[(src, k)] = (
+                stream[k * L : (k + 1) * L],
+                sorted(per_seq_bounds.get(k, [])),
+            )
+    assert got == want
