@@ -1108,19 +1108,25 @@ def describe_chunk(blob_bytes: bytes | memoryview) -> dict:
             "extras_section": len(buf) - end,
         },
     }
-    # doc section: doc-lens payload tree + the byte-stream encoding id
+    # doc section: doc-lens payload tree + the byte-stream encoding id.
+    # Inconsistent framing RAISES (review finding: silently skipping a
+    # section would let the description repeat a lying header)
     doc_sec = body[:sd]
-    if len(doc_sec) >= 4:
+    if sd:
+        if len(doc_sec) < 4:
+            raise HeaderInvalidError("doc section too short")
         (dl_len,) = _U32.unpack_from(doc_sec)
-        if 4 + dl_len <= sd:
-            out["doc_lens"] = core.describe_payload(doc_sec[4 : 4 + dl_len])
-            stream = doc_sec[4 + dl_len :]
-            if len(stream):
-                enc = stream[0]
-                out["doc_bytes"] = {
-                    "encoding": _DOC_ENC_NAMES.get(enc, f"unknown({enc})"),
-                    "bytes": len(stream),
-                }
+        if 4 + dl_len > sd:
+            raise HeaderInvalidError("doc-length payload overruns section")
+        out["doc_lens"] = core.describe_payload(doc_sec[4 : 4 + dl_len])
+        stream = doc_sec[4 + dl_len :]
+        if not len(stream):
+            raise HeaderInvalidError("doc byte-stream missing")
+        enc = stream[0]
+        out["doc_bytes"] = {
+            "encoding": _DOC_ENC_NAMES.get(enc, f"unknown({enc})"),
+            "bytes": len(stream),
+        }
     out["lengths"] = core.describe_payload(body[sd : sd + sl])
     # structural cross-checks: the description must not repeat a lying
     # header — payload-declared counts are compared against it (the
@@ -1134,6 +1140,8 @@ def describe_chunk(blob_bytes: bytes | memoryview) -> dict:
     if "doc_lens" in out and out["doc_lens"].get("n") != n_rows:
         raise CountMismatchError("doc_lens payload count != header n_rows")
     vals_sec = body[sd + sl : sd + sl + sv]
+    if sv == 0 and n_values:
+        raise HeaderInvalidError("values section missing")
     if len(vals_sec):
         mode = vals_sec[0]
         vdesc: dict = {
@@ -1144,13 +1152,18 @@ def describe_chunk(blob_bytes: bytes | memoryview) -> dict:
         if mode == 0:
             vdesc["payload"] = core.describe_payload(vals_sec[1:])
             declared = vdesc["payload"].get("n")
-        elif mode == 1 and len(vals_sec) >= 5:
+        elif mode == 1:
+            if len(vals_sec) < 5:
+                raise TruncatedBlobError("values mode-1 header truncated")
             (f_len,) = _U32.unpack_from(vals_sec, 1)
-            if 5 + f_len <= sv:
-                vdesc["firsts"] = core.describe_payload(vals_sec[5 : 5 + f_len])
-                vdesc["intra"] = core.describe_payload(vals_sec[5 + f_len :])
-                # every token is either a document's first or an intra delta
-                declared = vdesc["firsts"].get("n", 0) + vdesc["intra"].get("n", 0)
+            if 5 + f_len > sv:
+                raise HeaderInvalidError("firsts payload overruns section")
+            vdesc["firsts"] = core.describe_payload(vals_sec[5 : 5 + f_len])
+            vdesc["intra"] = core.describe_payload(vals_sec[5 + f_len :])
+            # every token is either a document's first or an intra delta
+            declared = vdesc["firsts"].get("n", 0) + vdesc["intra"].get("n", 0)
+        else:
+            raise HeaderInvalidError(f"unknown values section mode {mode}")
         if declared is not None and declared != n_values:
             raise CountMismatchError(
                 f"values section declares {declared} values, header says "
@@ -1162,7 +1175,9 @@ def describe_chunk(blob_bytes: bytes | memoryview) -> dict:
     tail = buf[end:]
     if len(tail):
         ex: list[dict] = []
-        if len(tail) >= 5:
+        if len(tail) < 5:
+            raise TruncatedBlobError("extras section truncated")
+        if True:
             (ex_crc,) = _U32.unpack_from(tail)
             bodye = tail[4:]
             if (zlib.crc32(bodye) & 0xFFFFFFFF) != ex_crc:

@@ -225,6 +225,7 @@ def incremental_decode(
     cfg: EncodeConfig | None = None,
     columns: list | None = None,
     trigger_once: bool = True,
+    dedup_ledger: bool = True,
 ) -> StreamingQuery:
     """Streaming decode: watch a growing chunk-table directory and decode
     each micro-batch of NEW chunk files into a growing token-table
@@ -232,12 +233,32 @@ def incremental_decode(
     reference's RecordIterator read loop, crates/copybook-codec/src/
     iterator.rs:259, as a Structured Streaming source).
 
-    Exactly-once comes from Spark's file-source checkpoint (a chunk file is
-    read by exactly one micro-batch) plus per-batch append of decoded rows;
-    chunk decode is bit-deterministic, so replays after a crash rewrite
-    identical rows into the batch's own overwrite directory. Per-trigger
-    work is O(new chunks), never O(table)."""
-    from copybook_rs_spark.operators.decode import _plan_decode, make_decode_kernel
+    Exactly-once has two layers (review findings — the file-source
+    checkpoint alone is NOT enough):
+    - Spark's file source tracks seen FILES by path, so a producer that
+      rewrites a batch directory with new part-file names (exactly what a
+      replayed incremental_encode commit does) re-delivers byte-identical
+      chunks under new paths. With dedup_ledger=True (default) every
+      committed batch appends its chunk_ids to a ledger and each new batch
+      anti-joins against it, so a re-delivered chunk is never decoded
+      twice. The ledger scan is O(chunks-so-far) per trigger — chunk_ids
+      only, ~10^-6 of the data; pass dedup_ledger=False for append-only
+      sources with stable file names (e.g. a compacted chunk table).
+    - Each batch's rows are written to a hidden .staging- dir and
+      committed by one atomic rename, so readers of out_dir/tokens never
+      see a partially-written batch (same stance as run_decode's staging
+      publish); a replayed decode batch whose final dir already exists
+      drops its (byte-identical, decode is deterministic) recompute.
+
+    Per-trigger work is O(new chunks) + the ledger scan, never O(table
+    data). Readers get the batch id as a partition column, same layout
+    convention as the encode side's chunks/batch=... directories."""
+    from copybook_rs_spark.operators.decode import (
+        _drop_staging,
+        _hadoop_path,
+        _plan_decode,
+        make_decode_kernel,
+    )
 
     cfg = cfg or EncodeConfig()
     checkpoint = os.path.join(out_dir, "_checkpoint")
@@ -248,21 +269,53 @@ def incremental_decode(
         .option("maxFilesPerTrigger", 16)
         .parquet(chunks_dir)
     )
+    ledger_root = os.path.join(out_dir, "ledger")
+    tokens_root = os.path.join(out_dir, "tokens")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        src, cols, out_pa, out_spark, tok64 = _plan_decode(
-            batch_df, columns, cfg
-        )
-        decoded = src.mapInArrow(
-            make_decode_kernel(cols, out_pa, tok64=tok64), out_spark
-        )
-        # per-batch overwrite dir = idempotent replay, same stance as
-        # commit_batch on the encode side
-        decoded.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "tokens", f"batch=b{batch_id:08d}")
-        )
+        sp = batch_df.sparkSession
+        fs, lroot = _hadoop_path(sp, ledger_root)
+        jpath = sp._jvm.org.apache.hadoop.fs.Path
+        batch = batch_df
+        if dedup_ledger and fs.exists(lroot):
+            seen = sp.read.parquet(ledger_root).select("chunk_id")
+            batch = batch.join(seen, "chunk_id", "left_anti")
+        batch = batch.persist()
+        try:
+            if batch.isEmpty():
+                return
+            src, cols, out_pa, out_spark, tok64 = _plan_decode(
+                batch, columns, cfg
+            )
+            decoded = src.mapInArrow(
+                make_decode_kernel(cols, out_pa, tok64=tok64), out_spark
+            )
+            tag = f"batch=b{batch_id:08d}"
+            staging = os.path.join(tokens_root, f".staging-{tag}")
+            final = os.path.join(tokens_root, tag)
+            decoded.write.mode("overwrite").parquet(staging)
+            if fs.exists(jpath(final)):
+                # a replayed decode batch: the recompute is byte-identical
+                # (decode is deterministic), keep the committed one
+                _drop_staging(sp, staging)
+            elif not fs.rename(jpath(staging), jpath(final)):
+                from copybook_rs_spark.errors import EngineError
+
+                raise EngineError(
+                    f"failed to commit decode batch {batch_id}",
+                    code="CBSP301",
+                )
+            # ledger AFTER data: a crash between leaves the data committed
+            # and the replay converges (final exists -> staging dropped,
+            # ledger then written)
+            if dedup_ledger:
+                batch.select("chunk_id").write.mode("overwrite").parquet(
+                    os.path.join(ledger_root, tag)
+                )
+        finally:
+            batch.unpersist()
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint
