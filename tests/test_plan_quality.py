@@ -187,3 +187,19 @@ def test_pregrouped_encode_plan_has_no_exchange(spark):
     n_ex = plan.count("Exchange")
     base_plan = grouped._jdf.queryExecution().executedPlan().toString()
     assert n_ex == base_plan.count("Exchange"), plan
+
+
+def test_pack_sequences_plan_quality(spark):
+    # the distributed prefix sum's offsets join must broadcast (it is
+    # partitions x sources rows) and nothing in the packing plan may fall
+    # back to a cartesian product
+    from copybook_rs_spark.operators.packing import pack_sequences
+
+    rows = [(f"d{i:03d}", list(range(i % 7 + 1)), i % 7 + 1, f"s{i % 2}")
+            for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    plan = pack_sequences(df, 8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
