@@ -112,9 +112,27 @@ def compact_manifest_parts(
     row-union — merge_manifest_parts stays the single aggregation point, so
     the merged manifest is invariant under compaction. Returns the number
     of raw batch dirs folded (0 = nothing to do)."""
+    return _compact_parts_dir(
+        spark, os.path.join(out_dir, "manifest_parts"), keep_last
+    )
+
+
+def compact_decode_ledger(
+    spark: SparkSession, out_dir: str, keep_last: int = 8
+) -> int:
+    """Same fold for incremental_decode's chunk_id ledger: without it a
+    long-lived stream accumulates one ledger directory per micro-batch and
+    the per-trigger anti-join scan pays an ever-growing listing. Row-union
+    semantics make compaction invisible to the dedup check."""
+    return _compact_parts_dir(spark, os.path.join(out_dir, "ledger"), keep_last)
+
+
+def _compact_parts_dir(spark: SparkSession, root: str, keep_last: int) -> int:
+    """Shared supersede-at-read compactor for batch=b... part directories
+    (manifest parts, decode ledger): schema-agnostic row-union into a
+    _SUCCESS-gated consolidated dir, crash-safe cleanup."""
     from copybook_rs_spark.operators.decode import _hadoop_path
 
-    root = os.path.join(out_dir, "manifest_parts")
     live = _live_part_dirs(spark, root)
     raw = [d for d in live if os.path.basename(d).startswith(_RAW_PREFIX)]
     fold_raw = raw[: -keep_last if keep_last else None] if keep_last else raw
@@ -226,6 +244,7 @@ def incremental_decode(
     columns: list | None = None,
     trigger_once: bool = True,
     dedup_ledger: bool = True,
+    compact_ledger_every: "int | None" = 64,
 ) -> StreamingQuery:
     """Streaming decode: watch a growing chunk-table directory and decode
     each micro-batch of NEW chunk files into a growing token-table
@@ -279,8 +298,9 @@ def incremental_decode(
         fs, lroot = _hadoop_path(sp, ledger_root)
         jpath = sp._jvm.org.apache.hadoop.fs.Path
         batch = batch_df
-        if dedup_ledger and fs.exists(lroot):
-            seen = sp.read.parquet(ledger_root).select("chunk_id")
+        ldirs = _live_part_dirs(sp, ledger_root) if dedup_ledger else []
+        if ldirs:
+            seen = sp.read.parquet(*ldirs).select("chunk_id")
             batch = batch.join(seen, "chunk_id", "left_anti")
         batch = batch.persist()
         try:
@@ -314,6 +334,10 @@ def incremental_decode(
                 batch.select("chunk_id").write.mode("overwrite").parquet(
                     os.path.join(ledger_root, tag)
                 )
+                if compact_ledger_every and batch_id % compact_ledger_every == (
+                    compact_ledger_every - 1
+                ):
+                    compact_decode_ledger(sp, out_dir)
         finally:
             batch.unpersist()
 

@@ -667,3 +667,41 @@ def test_incremental_decode_survives_producer_rewrite(spark, tmp_path):
     # a partial decode batch is never visible: only committed batch= dirs
     names = os.listdir(os.path.join(out_dir, "tokens"))
     assert all(n.startswith("batch=") for n in names)
+
+
+def test_decode_ledger_compaction_preserves_dedup(spark, tmp_path):
+    # the ledger compactor must bound the per-trigger dirs while keeping
+    # replay dedup exact (row-union invariance, same machinery as manifest
+    # part compaction)
+    import os
+
+    from copybook_rs_spark.streaming.incremental import (
+        _live_part_dirs,
+        compact_decode_ledger,
+        incremental_decode,
+    )
+
+    df = synthetic_tokens(spark, "mixed", 300).cache()
+    chunks = encode_tokens(df, CFG).cache()
+    chunks_dir = str(tmp_path / "chunks")
+    out_dir = str(tmp_path / "dectok")
+    # several small file batches -> several decode micro-batches
+    for i in range(4):
+        chunks.filter(F.pmod(F.xxhash64("chunk_id"), F.lit(4)) == i).withColumn(
+            "chunk_id", F.concat(F.lit(f"p{i}/"), F.col("chunk_id"))
+        ).write.mode("append").parquet(chunks_dir)
+        q = incremental_decode(spark, chunks_dir, out_dir, CFG)
+        q.awaitTermination(120)
+    folded = compact_decode_ledger(spark, out_dir, keep_last=1)
+    assert folded >= 1
+    live = _live_part_dirs(spark, os.path.join(out_dir, "ledger"))
+    assert len(live) <= 2
+    # replay everything after compaction: still no duplicates
+    for i in range(4):
+        chunks.filter(F.pmod(F.xxhash64("chunk_id"), F.lit(4)) == i).withColumn(
+            "chunk_id", F.concat(F.lit(f"p{i}/"), F.col("chunk_id"))
+        ).write.mode("append").parquet(chunks_dir)
+    q = incremental_decode(spark, chunks_dir, out_dir, CFG)
+    q.awaitTermination(120)
+    got = spark.read.parquet(os.path.join(out_dir, "tokens"))
+    assert got.count() == df.count()
