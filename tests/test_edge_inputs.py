@@ -97,3 +97,46 @@ def test_null_tokens_rejected_cleanly(spark):
 def test_many_sources_one_doc_each(spark):
     rows = [(f"d{i}", [i, i + 1], f"src_{i}") for i in range(50)]
     _roundtrip_ok(spark, _mk_df(spark, rows))
+
+
+def test_pack_sequences_edges(spark):
+    from copybook_rs_spark.operators.packing import pack_sequences
+
+    # seq_len=1: every token its own sequence, boundary 0 marks doc starts
+    df = spark.createDataFrame(
+        [("a", [5, 6], 2, "x"), ("b", [7], 1, "x")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    rows = sorted(pack_sequences(df, 1).collect(), key=lambda r: r["seq_id"])
+    assert [list(r["tokens"]) for r in rows] == [[5], [6], [7]]
+    assert [list(r["boundaries"]) for r in rows] == [[0], [], [0]]
+    # all docs empty -> zero sequences
+    empty = spark.createDataFrame(
+        [("a", [], 0, "x")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    assert pack_sequences(empty, 8).count() == 0
+    # invalid seq_len
+    with pytest.raises(ValueError):
+        pack_sequences(df, 0)
+
+
+def test_decimal_full_scale_roundtrip(spark):
+    # scale == precision (all digits fractional): 0 < |v| < 1 values
+    from decimal import Decimal
+
+    from copybook_rs_spark.config import EncodeConfig
+    from copybook_rs_spark.operators import decode_tokens, encode_tokens
+
+    rows = [(f"e{i}", [1], 1, "w", Decimal(i - 50) / 1000) for i in range(100)]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "f decimal(3,3)",
+    )
+    cfg = EncodeConfig(extra_columns=("f:decimal(3,3)",), chunk_values=64,
+                       target_values_per_part=256, shuffle_partitions=2)
+    dec = decode_tokens(encode_tokens(df, cfg), cfg=cfg)
+    want = {r["doc_id"]: str(r["f"]) for r in df.collect()}
+    got = {r["doc_id"]: str(r["f"]) for r in dec.collect()}
+    assert got == want
