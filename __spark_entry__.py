@@ -463,6 +463,32 @@ def _q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # END-TO-END training-data pipeline composition: exact dedup (min-id
+    # winner per content digest, operators/dedup.py) -> quality filter
+    # (word/char floors) -> deterministic train/val/test split
+    # (operators/packing.py) -> per-split aggregates with a content
+    # checksum. One oracle re-derives the whole chain in SQL, so a wrong
+    # survivor set, filter, split bucket, or lost row anywhere breaks it.
+    from copybook_rs_spark.operators.dedup import exact_dedup
+    from copybook_rs_spark.operators.packing import split_train_val
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    deduped = exact_dedup(docs)
+    kept = deduped.filter(
+        (F.size(F.split("text", " ")) >= 5) & (F.col("n_chars") >= 100)
+    )
+    return split_train_val(kept, train_pct=80, val_pct=10).groupBy(
+        "split"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(
+            F.expr("cast(conv(substr(md5(text), 1, 8), 16, 10) as bigint)")
+        ).alias("text_checksum"),
+    )
+
+
 def _q_decimal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decimal(p,s) extra column (the reference's zoned/packed-decimal type
     # authority: crates/copybook-arrow/src/schema_convert.rs:129-140 maps
@@ -649,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decimal_roundtrip": _q_decimal_roundtrip,
         "sequence_pack": _q_sequence_pack,
         "data_split": _q_data_split,
+        "pipeline_e2e": _q_pipeline_e2e,
         "embeddings_roundtrip": _q_embeddings_roundtrip,
         "text_roundtrip": _q_text_roundtrip,
         "stats_minmax": _q_stats_minmax,
@@ -760,6 +787,32 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             GROUP BY source
+        """,
+        "pipeline_e2e": """
+            WITH survivors AS (
+              SELECT min(doc_id) AS doc_id
+              FROM documents
+              GROUP BY md5(text)
+            ),
+            kept AS (
+              SELECT d.*
+              FROM documents d JOIN survivors s ON d.doc_id = s.doc_id
+              WHERE len(string_split(d.text, ' ')) >= 5 AND d.n_chars >= 100
+            )
+            SELECT CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+                        AS BIGINT) AS text_checksum
+            FROM (
+              SELECT *,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 100 AS b
+              FROM kept
+            )
+            GROUP BY 1
         """,
         "sequence_pack": f"""
             WITH cum AS (
