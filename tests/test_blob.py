@@ -482,3 +482,40 @@ def test_describe_chunk_codec_tree():
         t[pos] ^= 0x10
         with pytest.raises(EngineError):
             blob.describe_chunk(bytes(t))
+
+
+def test_describe_chunk_exhaustive_bitflip_never_lies():
+    # every single-bit flip of a chunk must make describe_chunk either
+    # raise a typed engine error or (for bits decode also ignores) return
+    # the EXACT same description as the pristine blob — it may never
+    # return a differing "description" of corrupt bytes
+    import numpy as np
+
+    from copybook_rs_spark.errors import EngineError
+
+    rng = np.random.default_rng(21)
+    n = 40
+    lens = rng.integers(1, 8, n).astype(np.int64)
+    vals = rng.integers(0, 3000, int(lens.sum())).astype(np.int64)
+    docs = [f"d{i:04d}" for i in range(n)]
+    db = "".join(docs).encode()
+    dl = np.array([len(d) for d in docs], dtype=np.int64)
+    b, _ = blob.encode_chunk(
+        db, dl, lens, vals,
+        extras=[("p", "decimal(6,2)",
+                 np.ones(n, dtype=np.int64),
+                 rng.integers(-9999, 9999, n).astype(np.int64))],
+    )
+    clean = blob.describe_chunk(b)
+    lied = []
+    for pos in range(len(b)):
+        for bit in (0x01, 0x80):
+            t = bytearray(b)
+            t[pos] ^= bit
+            try:
+                d = blob.describe_chunk(bytes(t))
+                if d != clean:
+                    lied.append((pos, bit))
+            except EngineError:
+                pass
+    assert not lied, lied[:10]
