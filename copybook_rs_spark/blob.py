@@ -1177,45 +1177,44 @@ def describe_chunk(blob_bytes: bytes | memoryview) -> dict:
         ex: list[dict] = []
         if len(tail) < 5:
             raise TruncatedBlobError("extras section truncated")
-        if True:
-            (ex_crc,) = _U32.unpack_from(tail)
-            bodye = tail[4:]
-            if (zlib.crc32(bodye) & 0xFFFFFFFF) != ex_crc:
-                raise CrcMismatchError("extras section crc32 mismatch")
-            n_extra = bodye[0]
-            off = 1
-            for _ in range(n_extra):
-                nl = bodye[off]
-                off += 1
-                name = bytes(bodye[off : off + nl]).decode("utf-8")
-                off += nl
-                etype = bodye[off]
-                off += 1
-                dec_ps = None
-                if etype == ETYPE_DECIMAL:
-                    dec_ps = (bodye[off], bodye[off + 1])
-                    off += 2
-                (pl_len,) = _U32.unpack_from(bodye, off)
-                off += 4
-                lbuf = bodye[off : off + pl_len]
-                off += pl_len
-                (pv_len,) = _U32.unpack_from(bodye, off)
-                off += 4
-                vbuf = bodye[off : off + pv_len]
-                off += pv_len
-                ename = (
-                    f"decimal({dec_ps[0]},{dec_ps[1]})"
-                    if dec_ps is not None
-                    else ETYPE_NAMES.get(etype, f"unknown({etype})")
-                )
-                col: dict = {
-                    "name": name,
-                    "etype": ename,
-                    "lens": core.describe_payload(lbuf),
-                    "values_bytes": pv_len,
-                }
-                if etype == ETYPE_INT64 or dec_ps is not None:
-                    col["values"] = core.describe_payload(vbuf)
-                ex.append(col)
+        (ex_crc,) = _U32.unpack_from(tail)
+        bodye = tail[4:]
+        if (zlib.crc32(bodye) & 0xFFFFFFFF) != ex_crc:
+            raise CrcMismatchError("extras section crc32 mismatch")
+        n_extra = bodye[0]
+        off = 1
+        for _ in range(n_extra):
+            nl = bodye[off]
+            off += 1
+            name = bytes(bodye[off : off + nl]).decode("utf-8")
+            off += nl
+            etype = bodye[off]
+            off += 1
+            dec_ps = None
+            if etype == ETYPE_DECIMAL:
+                dec_ps = (bodye[off], bodye[off + 1])
+                off += 2
+            (pl_len,) = _U32.unpack_from(bodye, off)
+            off += 4
+            lbuf = bodye[off : off + pl_len]
+            off += pl_len
+            (pv_len,) = _U32.unpack_from(bodye, off)
+            off += 4
+            vbuf = bodye[off : off + pv_len]
+            off += pv_len
+            ename = (
+                f"decimal({dec_ps[0]},{dec_ps[1]})"
+                if dec_ps is not None
+                else ETYPE_NAMES.get(etype, f"unknown({etype})")
+            )
+            col: dict = {
+                "name": name,
+                "etype": ename,
+                "lens": core.describe_payload(lbuf),
+                "values_bytes": pv_len,
+            }
+            if etype == ETYPE_INT64 or dec_ps is not None:
+                col["values"] = core.describe_payload(vbuf)
+            ex.append(col)
         out["extras"] = ex
     return out

@@ -295,13 +295,37 @@ def incremental_decode(
         if batch_df.isEmpty():
             return
         sp = batch_df.sparkSession
-        fs, lroot = _hadoop_path(sp, ledger_root)
+        fs, _ = _hadoop_path(sp, ledger_root)
         jpath = sp._jvm.org.apache.hadoop.fs.Path
         batch = batch_df
         ldirs = _live_part_dirs(sp, ledger_root) if dedup_ledger else []
         if ldirs:
-            seen = sp.read.parquet(*ldirs).select("chunk_id")
-            batch = batch.join(seen, "chunk_id", "left_anti")
+            # explicit schema: a crash can leave a footer-less raw ledger
+            # dir, and schema inference over it would wedge every replay
+            seen = sp.read.schema("chunk_id string, crc32 long").parquet(
+                *ldirs
+            ).withColumnRenamed("crc32", "__seen_crc")
+            j = batch.join(seen, "chunk_id", "left")
+            # chunk_id is positional ({source}/{part}/{seq}), NOT content-
+            # derived: a producer that appends two independent encode runs
+            # can reuse ids for DIFFERENT chunks. Dropping those as
+            # "already decoded" would be silent data loss — the ledger
+            # carries the chunk crc32, so an id reused with different
+            # content raises typed instead (review finding)
+            collided = j.filter(
+                F.col("__seen_crc").isNotNull()
+                & (F.col("crc32") != F.col("__seen_crc"))
+            )
+            if collided.limit(1).count():
+                from copybook_rs_spark.errors import PipelineContractError
+
+                raise PipelineContractError(
+                    "incremental_decode: a chunk_id arrived with DIFFERENT "
+                    "content than the ledger recorded — the watched table "
+                    "violates table-wide chunk_id uniqueness (prefix batch "
+                    "appends, as the streaming encode sink does)"
+                )
+            batch = j.filter(F.col("__seen_crc").isNull()).drop("__seen_crc")
         batch = batch.persist()
         try:
             if batch.isEmpty():
@@ -331,9 +355,9 @@ def incremental_decode(
             # and the replay converges (final exists -> staging dropped,
             # ledger then written)
             if dedup_ledger:
-                batch.select("chunk_id").write.mode("overwrite").parquet(
-                    os.path.join(ledger_root, tag)
-                )
+                batch.select("chunk_id", "crc32").write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(ledger_root, tag))
                 if compact_ledger_every and batch_id % compact_ledger_every == (
                     compact_ledger_every - 1
                 ):

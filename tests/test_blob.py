@@ -509,7 +509,7 @@ def test_describe_chunk_exhaustive_bitflip_never_lies():
     clean = blob.describe_chunk(b)
     lied = []
     for pos in range(len(b)):
-        for bit in (0x01, 0x80):
+        for bit in (1, 2, 4, 8, 16, 32, 64, 128):
             t = bytearray(b)
             t[pos] ^= bit
             try:

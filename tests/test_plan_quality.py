@@ -190,9 +190,11 @@ def test_pregrouped_encode_plan_has_no_exchange(spark):
 
 
 def test_pack_sequences_plan_quality(spark):
-    # the distributed prefix sum's offsets join must broadcast (it is
-    # partitions x sources rows) and nothing in the packing plan may fall
-    # back to a cartesian product
+    # nothing in the packing plan may fall back to a cartesian or
+    # nested-loop join. (The offsets join inside _distributed_prefix_sum
+    # executes EAGERLY behind the localCheckpoint lineage cut, so it never
+    # appears in the returned lazy plan — its broadcast is asserted on the
+    # fragment directly below.)
     from copybook_rs_spark.operators.packing import pack_sequences
 
     rows = [(f"d{i:03d}", list(range(i % 7 + 1)), i % 7 + 1, f"s{i % 2}")
@@ -201,5 +203,13 @@ def test_pack_sequences_plan_quality(spark):
         rows, "doc_id string, tokens array<int>, n_tok int, source string"
     )
     plan = pack_sequences(df, 8)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
-    assert "CartesianProduct" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # offsets-join fragment: an explicit F.broadcast on a tiny keyed table
+    # must plan as a BroadcastHashJoin
+    narrow = df.selectExpr("source", "doc_id as __ord", "n_tok as __len")
+    off = F.broadcast(spark.createDataFrame(
+        [(0, "s0", 0), (0, "s1", 3)], "__pid int, source string, __off long"
+    ))
+    frag = narrow.withColumn("__pid", F.lit(0)).join(off, ["__pid", "source"])
+    fplan = frag._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in fplan or "BroadcastQueryStage" in fplan

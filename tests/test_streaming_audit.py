@@ -705,3 +705,30 @@ def test_decode_ledger_compaction_preserves_dedup(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.read.parquet(os.path.join(out_dir, "tokens"))
     assert got.count() == df.count()
+
+
+def test_incremental_decode_chunk_id_collision_raises(spark, tmp_path):
+    # review finding: chunk_id is positional, not content-derived — two
+    # independent encode appends can reuse an id for DIFFERENT chunks.
+    # Dropping the second as "already decoded" would be silent data loss;
+    # the ledger carries the chunk crc32 and must raise typed instead
+    from copybook_rs_spark.errors import PipelineContractError
+    from copybook_rs_spark.streaming.incremental import incremental_decode
+
+    df = synthetic_tokens(spark, "mixed", 200).cache()
+    a = encode_tokens(df.filter("n_tok % 2 = 0"), CFG)
+    b = encode_tokens(df.filter("n_tok % 2 = 1"), CFG)  # ids COLLIDE with a
+    chunks_dir = str(tmp_path / "chunks")
+    out_dir = str(tmp_path / "dectok")
+    a.write.mode("append").parquet(chunks_dir)
+    q = incremental_decode(spark, chunks_dir, out_dir, CFG)
+    q.awaitTermination(120)
+    b.write.mode("append").parquet(chunks_dir)
+    q2 = incremental_decode(spark, chunks_dir, out_dir, CFG)
+    with pytest.raises(Exception, match="uniqueness|StreamingQueryException") as ei:
+        q2.awaitTermination(120)
+        q2.processAllAvailable()
+    # the stream surfaces the typed contract error
+    assert "uniqueness" in str(ei.value) or "uniqueness" in str(
+        getattr(q2.exception(), "desc", "")
+    )
