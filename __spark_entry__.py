@@ -515,11 +515,16 @@ def _q_decimal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(12,2)) as price",
     )
     dec = decode_tokens(encode_tokens(df, cfg), cfg=cfg)
+    # Aggregate the DECODED decimals, then return hash-canonical BIGINT
+    # cents: DECIMAL-typed result columns hash differently between Spark
+    # and DuckDB at the driver gate even when every value is identical
+    # (round-4 verdict), so scale-2 decimals go out as exact integer cents
+    # on BOTH sides (invariant 4).
     return dec.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.sum("price").cast("decimal(38,2)").alias("price_sum"),
-        F.min("price").alias("price_min"),
-        F.max("price").alias("price_max"),
+        (F.sum("price") * 100).cast("bigint").alias("price_sum_cents"),
+        (F.min("price") * 100).cast("bigint").alias("price_min_cents"),
+        (F.max("price") * 100).cast("bigint").alias("price_max_cents"),
     )
 
 
@@ -776,9 +781,9 @@ def oracle_sql() -> dict[str, str]:
         "decimal_roundtrip": """
             SELECT source,
                    count(*) AS n_docs,
-                   CAST(sum(price) AS DECIMAL(38,2)) AS price_sum,
-                   min(price) AS price_min,
-                   max(price) AS price_max
+                   CAST(sum(price) * 100 AS BIGINT) AS price_sum_cents,
+                   CAST(min(price) * 100 AS BIGINT) AS price_min_cents,
+                   CAST(max(price) * 100 AS BIGINT) AS price_max_cents
             FROM (
               SELECT source,
                      CAST(CAST(n_chars * 7 - 3000 AS DECIMAL(16,2))
