@@ -1183,23 +1183,41 @@ def describe_chunk(blob_bytes: bytes | memoryview) -> dict:
             raise CrcMismatchError("extras section crc32 mismatch")
         n_extra = bodye[0]
         off = 1
+        # same bounds discipline as decode_extras: a crafted blob whose
+        # extras crc is valid over malformed grammar must raise typed
+        # CBSP errors here too, never raw IndexError/struct.error (the
+        # bit-flip fuzz can't reach this path — flips break the crc first)
         for _ in range(n_extra):
+            if len(bodye) < off + 1:
+                raise TruncatedBlobError("extras name length truncated")
             nl = bodye[off]
             off += 1
+            if len(bodye) < off + nl + 1:
+                raise TruncatedBlobError("extras name truncated")
             name = bytes(bodye[off : off + nl]).decode("utf-8")
             off += nl
             etype = bodye[off]
             off += 1
             dec_ps = None
             if etype == ETYPE_DECIMAL:
+                if len(bodye) < off + 2:
+                    raise TruncatedBlobError("extras decimal params truncated")
                 dec_ps = (bodye[off], bodye[off + 1])
                 off += 2
+            if len(bodye) < off + 4:
+                raise TruncatedBlobError("extras lengths size truncated")
             (pl_len,) = _U32.unpack_from(bodye, off)
             off += 4
+            if len(bodye) < off + pl_len:
+                raise TruncatedBlobError("extras lengths payload overruns section")
             lbuf = bodye[off : off + pl_len]
             off += pl_len
+            if len(bodye) < off + 4:
+                raise TruncatedBlobError("extras values size truncated")
             (pv_len,) = _U32.unpack_from(bodye, off)
             off += 4
+            if len(bodye) < off + pv_len:
+                raise TruncatedBlobError("extras values payload overruns section")
             vbuf = bodye[off : off + pv_len]
             off += pv_len
             ename = (

@@ -76,10 +76,30 @@ _ALL_COLUMNS = ("doc_id", "tokens", "n_tok", "source")
 # batch size crossing the Python->JVM boundary without a code change.
 # NOTE: read at import time on driver AND executors; both sides must see
 # the same environment for the setting to take effect in the kernel.
-_COALESCE_ROWS = int(os.environ.get("SPARK_GRAFT_DECODE_BATCH_ROWS", 16384))
-_COALESCE_BYTES = int(
-    os.environ.get("SPARK_GRAFT_DECODE_BATCH_BYTES", 16 << 20)
-)
+def _env_int(name: str, default: int) -> int:
+    """Positive-int env override: malformed or non-positive values fall
+    back to the default with a warning instead of raising on every import
+    (driver AND executors import this module) or silently breaking the
+    coalescer's flush conditions with 0/negative bounds."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        v = int(raw)
+    except ValueError:
+        v = -1
+    if v < 1:
+        import warnings
+
+        warnings.warn(
+            f"{name}={raw!r} is not a positive integer; using {default}"
+        )
+        return default
+    return v
+
+
+_COALESCE_ROWS = _env_int("SPARK_GRAFT_DECODE_BATCH_ROWS", 16384)
+_COALESCE_BYTES = _env_int("SPARK_GRAFT_DECODE_BATCH_BYTES", 16 << 20)
 
 
 def _build_schemas(cfg, cols: tuple[str, ...]):
@@ -678,20 +698,25 @@ def run_decode_resumable(
     Resume correctness:
     - Shard membership is a pure function of the data, never of
       parallelism; decode is bit-deterministic.
-    - The FIRST run persists {n_shards} to _RESUME_META.json (atomic
-      temp+rename); a resume validates it and raises typed CBSP301 on
-      mismatch or on a missing/corrupt meta next to committed shards —
-      resuming with a different n_shards (silent re-map = data loss) can
-      never succeed silently.
+    - The FIRST run persists {n_shards, output schema} to
+      _RESUME_META.json (atomic temp+rename); a resume validates both and
+      raises typed CBSP301 on mismatch or on a missing/corrupt meta next
+      to committed shards — resuming with a different n_shards (silent
+      re-map = data loss) or different columns/cfg (mixed shard schemas →
+      read_decoded nulls = silent wrong data) can never succeed silently.
     - A shard commits by writing to a hidden .staging- dir (Spark job
       commit) and then a single atomic rename, WITH a sidecar
       (_shard_errors.json) recording its error count AND its chunk
-      membership fingerprint (count + chunk_id hash sum). On resume, a
-      committed shard whose membership no longer matches the current chunk
-      table — chunks repaired by deletion, or new chunks arrived — is
-      invalidated and re-decoded, so resume always CONVERGES to the table
-      it was given instead of refusing or silently drifting. Partial
-      staging/final dirs from killed jobs are wiped.
+      membership fingerprint (count + chunk_id hash sum + blob CONTENT
+      crc sum — chunk_id is positional, so an in-place rewrite with the
+      same id must still invalidate the shard). On resume, a committed
+      shard whose membership no longer matches the current chunk table —
+      chunks repaired by deletion, rewritten in place, or new arrivals —
+      is invalidated and re-decoded, so resume always CONVERGES to the
+      table it was given instead of refusing or silently drifting.
+      Partial staging/final dirs from killed jobs are wiped. A STRICT
+      resume over committed shards that recorded lenient-mode errors
+      fails typed instead of re-certifying them.
     - The lenient error budget is CUMULATIVE across runs (baseline = sum
       of committed shards' recorded errors) and checked BEFORE the shard
       commits: an over-budget shard is dropped, stays pending, and is
@@ -728,11 +753,39 @@ def run_decode_resumable(
     fs, root_p = _hadoop_path(spark, shards_root)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
 
+    # resolve the requested output schema exactly as _plan_decode will —
+    # unknown-column validation runs BEFORE any metadata write, and the
+    # resolved schema string (names + types, incl. token dtype and typed
+    # extras) is pinned in _RESUME_META: resuming with different
+    # columns/cfg would mix shard schemas under one root and read_decoded
+    # would return nulls for the divergent columns — silent wrong data
+    # (ADVICE r4 #1), so it must fail typed like the n_shards guard.
+    all_cols = _ALL_COLUMNS + (cfg.extra_names() if cfg is not None else ())
+    if columns is not None:
+        unknown = set(columns) - set(all_cols)
+        if unknown:
+            from copybook_rs_spark.functions.projection import (
+                UnknownColumnError,
+            )
+
+            raise UnknownColumnError(
+                f"unknown decode columns {sorted(unknown)}"
+            )
+        fp_cols = tuple(c for c in all_cols if c in set(columns))
+    else:
+        fp_cols = all_cols
+    schema_fp = _build_schemas(cfg, fp_cols)[1].simpleString()
+
     shard_col = F.pmod(F.xxhash64("source", "part_id"), F.lit(n_shards))
     # current per-shard membership fingerprints: count + order-independent
-    # chunk_id hash sum (one cheap agg over the pruned chunk_id column)
+    # chunk_id hash sum + CONTENT crc sum (one cheap agg over two pruned
+    # columns). chunk_id is positional, not content-derived, so a chunk
+    # rewritten in place with the same id but different bytes must still
+    # invalidate its committed shard (ADVICE r4 #2) — the table's crc32
+    # column is the blob-body content hash, so its sum changes with any
+    # in-place rewrite.
     cur_fp = {
-        int(r["__shard"]): (int(r["n"]), int(r["fp"]))
+        int(r["__shard"]): (int(r["n"]), int(r["fp"]), int(r["crc_fp"]))
         for r in chunk_df.withColumn("__shard", shard_col)
         .groupBy("__shard")
         .agg(
@@ -740,6 +793,7 @@ def run_decode_resumable(
             F.coalesce(
                 F.sum(F.crc32(F.col("chunk_id").cast("binary"))), F.lit(0)
             ).alias("fp"),
+            F.coalesce(F.sum(F.col("crc32")), F.lit(0)).alias("crc_fp"),
         )
         .collect()
     }
@@ -776,6 +830,16 @@ def run_decode_resumable(
                 "value or start a fresh out_dir",
                 code="CBSP301",
             )
+        meta_schema = meta.get("schema")
+        if meta_schema != schema_fp:
+            raise EngineError(
+                f"resume with output schema {schema_fp!r} but {out_dir!r} "
+                f"was started with {meta_schema!r} — committed shards "
+                "would mix schemas and read_decoded would return nulls "
+                "for the divergent columns (silent wrong data); pass the "
+                "original columns/cfg or start a fresh out_dir",
+                code="CBSP301",
+            )
     elif shard_dirs:
         raise EngineError(
             f"{out_dir!r} holds committed shard dirs but no {_RESUME_META} "
@@ -788,7 +852,8 @@ def run_decode_resumable(
         if parent is not None and not fs.exists(parent):
             fs.mkdirs(parent)
         _fs_write_small_atomic(
-            spark, fs, meta_path, _json.dumps({"n_shards": n_shards})
+            spark, fs, meta_path,
+            _json.dumps({"n_shards": n_shards, "schema": schema_fp}),
         )
 
     # ---- validate each committed shard's membership against the CURRENT
@@ -809,16 +874,28 @@ def run_decode_resumable(
                 side = _json.loads(_fs_read_small(spark, fs, errs_p))
             except Exception:
                 side = None
-        want = cur_fp.get(sid, (0, 0))
+        want = cur_fp.get(sid, (0, 0, 0))
         if (
             side is None
-            or (int(side.get("n_chunks", -1)), int(side.get("fp", -1)))
+            or (
+                int(side.get("n_chunks", -1)),
+                int(side.get("fp", -1)),
+                int(side.get("crc_fp", -1)),
+            )
             != want
         ):
             fs.delete(jpath(sdir), True)  # membership changed: re-decode
             continue
         committed.add(sid)
         baseline_errors += int(side["n_errors"])
+    if opts.policy == "strict" and baseline_errors > 0:
+        # committed shards were decoded leniently WITH recorded errors;
+        # a strict resume must not re-certify them under _DECODE_COMPLETE
+        raise ErrorBudgetExceededError(
+            f"strict resume over {baseline_errors} recorded corrupt "
+            "chunks in committed shards; re-decode with a lenient policy "
+            "or repair the table and start fresh"
+        )
     # a pre-existing complete marker is stale the moment we re-run;
     # re-written after this run's budget check
     fs.delete(jpath(os.path.join(out_dir, _COMPLETE_MARKER)), False)
@@ -861,12 +938,17 @@ def run_decode_resumable(
                 f"{s} ({total} corrupt chunks cumulative); the shard was "
                 "NOT committed — fix the table and resume"
             )
-        n_s, fp_s = cur_fp.get(s, (0, 0))
+        n_s, fp_s, crc_s = cur_fp.get(s, (0, 0, 0))
         _fs_write_small(
             spark, fs,
             jpath(os.path.join(staging, _SHARD_ERRORS)),
             _json.dumps(
-                {"n_errors": shard_errors, "n_chunks": n_s, "fp": fp_s}
+                {
+                    "n_errors": shard_errors,
+                    "n_chunks": n_s,
+                    "fp": fp_s,
+                    "crc_fp": crc_s,
+                }
             ),
         )
         if not fs.rename(jpath(staging), jpath(final)):

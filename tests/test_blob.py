@@ -519,3 +519,49 @@ def test_describe_chunk_exhaustive_bitflip_never_lies():
             except EngineError:
                 pass
     assert not lied, lied[:10]
+
+
+def test_describe_chunk_malformed_extras_valid_crc_typed():
+    # ADVICE r5 #3: a crafted blob whose extras crc32 is VALID over
+    # malformed grammar (bit-flips can't reach this path - they break the
+    # crc first) must raise typed engine errors from describe_chunk, never
+    # raw IndexError/struct.error
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from copybook_rs_spark import blob
+    from copybook_rs_spark.errors import EngineError
+
+    n = 20
+    lens = np.full(n, 3, dtype=np.int64)
+    vals = np.arange(3 * n, dtype=np.int64)
+    docs = [f"d{i:03d}" for i in range(n)]
+    db = "".join(docs).encode()
+    dl = np.array([len(d) for d in docs], dtype=np.int64)
+    b, _ = blob.encode_chunk(
+        db, dl, lens, vals,
+        extras=[("aux", "int64", np.ones(n, dtype=np.int64),
+                 np.arange(n, dtype=np.int64))],
+    )
+    _, _, _, _, _, _, sd, sl, sv, _, _ = blob._HEADER.unpack_from(b)
+    end = blob.HEADER_LEN + sd + sl + sv
+    body = bytes(b[end + 4:])
+
+    def reseal(tampered: bytes) -> bytes:
+        crc = zlib.crc32(tampered) & 0xFFFFFFFF
+        return b[:end] + struct.pack("<I", crc) + tampered
+
+    # grammar offsets: [n_extra][nl]["aux"][etype][pl_len u32]...
+    t_pl = bytearray(body)
+    t_pl[6:10] = struct.pack("<I", 0xFFFFFFFF)  # lengths payload overrun
+    t_nl = bytearray(body)
+    t_nl[1] = 0xFF  # name overruns the section
+    t_trunc = bytearray(body[:5])  # truncated mid-grammar
+    for t in (t_pl, t_nl, t_trunc):
+        crafted = reseal(bytes(t))
+        with pytest.raises(EngineError):
+            blob.describe_chunk(crafted)
+        with pytest.raises(EngineError):
+            blob.decode_extras(crafted, n)

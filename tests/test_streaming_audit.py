@@ -578,6 +578,101 @@ def test_run_decode_resumable_budget_before_commit_and_cumulative(spark, tmp_pat
     assert s2["shards_done"] == 0 and s2["n_errors"] == k  # from sidecars
 
 
+def test_run_decode_resumable_schema_pinned(spark, tmp_path):
+    # ADVICE r5 #1: _RESUME_META pins the resolved output schema, not just
+    # n_shards — resuming with different columns or cfg would mix shard
+    # schemas under one root (read_decoded nulls = silent wrong data)
+    import os
+
+    from copybook_rs_spark.errors import EngineError
+    from copybook_rs_spark.functions.projection import UnknownColumnError
+    from copybook_rs_spark.operators.decode import run_decode_resumable
+
+    df = synthetic_tokens(spark, "mixed", 120)
+    chunks = encode_tokens(df, CFG).cache()
+    out = str(tmp_path / "dec")
+    run_decode_resumable(chunks, out, n_shards=2)
+    with pytest.raises(EngineError, match="schema"):
+        run_decode_resumable(
+            chunks, out, columns=["doc_id", "tokens"], n_shards=2
+        )
+    with pytest.raises(EngineError, match="schema"):
+        run_decode_resumable(
+            chunks, out, cfg=EncodeConfig(token_dtype="int64"), n_shards=2
+        )
+    # unknown columns fail typed BEFORE any metadata write
+    out2 = str(tmp_path / "dec2")
+    with pytest.raises(UnknownColumnError):
+        run_decode_resumable(chunks, out2, columns=["nope"], n_shards=2)
+    assert not os.path.exists(os.path.join(out2, "_RESUME_META.json"))
+
+
+def test_run_decode_resumable_detects_inplace_content_rewrite(spark, tmp_path):
+    # ADVICE r5 #2: chunk_id is positional, so a chunk rewritten in place
+    # with the same id but different bytes must invalidate its committed
+    # shard — the membership fingerprint now includes the content crc sum
+    from copybook_rs_spark.operators.decode import (
+        decode_tokens,
+        read_decoded,
+        run_decode_resumable,
+    )
+
+    df_a = synthetic_tokens(spark, "mixed", 200)
+    chunks_a = encode_tokens(df_a, CFG).cache()
+    # same docs, same lengths -> same grouping + chunk cuts -> SAME
+    # positional chunk_ids; shifted token VALUES -> different blob bytes
+    df_b = df_a.withColumn(
+        "tokens", F.expr("transform(tokens, x -> cast(x + 1 as int))")
+    )
+    chunks_b = encode_tokens(df_b, CFG).cache()
+    ids_a = sorted(r[0] for r in chunks_a.select("chunk_id").collect())
+    ids_b = sorted(r[0] for r in chunks_b.select("chunk_id").collect())
+    assert ids_a == ids_b  # precondition: rewrite is chunk_id-invisible
+    crc_a = sorted(r[0] for r in chunks_a.select("crc32").collect())
+    crc_b = sorted(r[0] for r in chunks_b.select("crc32").collect())
+    assert crc_a != crc_b  # ...but content-visible
+
+    out = str(tmp_path / "dec")
+    run_decode_resumable(chunks_a, out, n_shards=4)
+    summary = run_decode_resumable(chunks_b, out, n_shards=4)
+    assert summary["shards_done"] >= 1  # stale shards re-decoded
+    want = {
+        (r["doc_id"], tuple(r["tokens"]))
+        for r in decode_tokens(chunks_b).collect()
+    }
+    got = {
+        (r["doc_id"], tuple(r["tokens"]))
+        for r in read_decoded(spark, out).collect()
+    }
+    assert got == want  # converged to the REWRITTEN content
+
+
+def test_run_decode_resumable_strict_resume_over_lenient_errors(spark, tmp_path):
+    # a strict resume must not re-certify shards whose sidecars recorded
+    # lenient-mode skipped chunks under a fresh _DECODE_COMPLETE marker
+    from copybook_rs_spark.errors import ErrorBudgetExceededError
+    from copybook_rs_spark.operators.decode import (
+        DecodeOptions,
+        run_decode_resumable,
+    )
+
+    df = synthetic_tokens(spark, "mixed", 150)
+    chunks = encode_tokens(df, CFG).cache()
+    bad = chunks.withColumn(
+        "blob", F.expr("substring(blob, 1, 40)")
+    ).cache()
+    k = bad.count()
+    out = str(tmp_path / "dec")
+    run_decode_resumable(
+        bad, out, options=DecodeOptions(policy="lenient", max_errors=k),
+        n_shards=2,
+    )
+    with pytest.raises(ErrorBudgetExceededError, match="strict resume"):
+        run_decode_resumable(
+            bad, out, options=DecodeOptions(policy="strict"), n_shards=2
+        )
+
+
 def test_run_decode_resumable_tighter_budget_not_recertified(spark, tmp_path):
     # review finding: re-invoking over fully-committed shards with a
     # TIGHTER budget must fail typed instead of rewriting the completion
@@ -732,3 +827,18 @@ def test_incremental_decode_chunk_id_collision_raises(spark, tmp_path):
     assert "uniqueness" in str(ei.value) or "uniqueness" in str(
         getattr(q2.exception(), "desc", "")
     )
+
+
+def test_decode_batch_env_validation(monkeypatch):
+    # ADVICE r5 #4: malformed/non-positive batch-size env overrides fall
+    # back to the default with a warning instead of raising on import or
+    # silently breaking the output coalescer's flush conditions
+    from copybook_rs_spark.operators.decode import _env_int
+
+    assert _env_int("SPARK_GRAFT_TEST_UNSET", 7) == 7
+    monkeypatch.setenv("SPARK_GRAFT_TEST_BATCH", "123")
+    assert _env_int("SPARK_GRAFT_TEST_BATCH", 7) == 123
+    for bad in ("abc", "0", "-5", "1.5", ""):
+        monkeypatch.setenv("SPARK_GRAFT_TEST_BATCH", bad)
+        with pytest.warns(UserWarning):
+            assert _env_int("SPARK_GRAFT_TEST_BATCH", 7) == 7
