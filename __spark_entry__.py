@@ -9,6 +9,7 @@ operator (SURVEY.md §2), each over /root/testdata parquet so the DuckDB
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -98,6 +99,60 @@ def _q_verify_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so per-source verified counts == plain counts over the input.
     tok = token_table(spark, sf_dir)
     return verified_counts(tok, _CFG)
+
+
+def _q_resumable_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Checkpoint-resume decode under the driver oracle (round-4 verdict
+    # #5): phase 1 commits shards for HALF the chunk table (simulating an
+    # interrupted run), phase 2 resumes over the FULL table — shards whose
+    # membership is unchanged are skipped, the rest decoded — and the
+    # converged output must aggregate exactly like the plain input,
+    # including a token-VALUE checksum (not just counts). The few result
+    # rows are collected so the decode tempdir can be removed eagerly.
+    import shutil
+    import tempfile
+
+    from copybook_rs_spark.operators.decode import (
+        read_decoded,
+        run_decode_resumable,
+    )
+
+    tok = token_table(spark, sf_dir)
+    cfg = EncodeConfig(
+        chunk_values=4096, target_values_per_part=32_768, shuffle_partitions=8
+    )
+    chunks = encode_tokens(tok, cfg).cache()
+    tmp = tempfile.mkdtemp(prefix="spark_graft_resumable_")
+    out = os.path.join(tmp, "dec")
+    try:
+        # shard key is xxhash64(source, part_id) % n_shards, so this
+        # filter makes shards 0/2 COMPLETE in phase 1 (skipped on resume)
+        # and 1/3 empty (decoded on resume)
+        half = chunks.filter(
+            F.pmod(F.xxhash64("source", "part_id"), F.lit(2)) == 0
+        )
+        run_decode_resumable(half, out, cfg=cfg, n_shards=4)
+        summary = run_decode_resumable(chunks, out, cfg=cfg, n_shards=4)
+        assert summary["shards_skipped"] == 2, summary
+        rows = (
+            read_decoded(spark, out)
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tok").cast("bigint").alias("n_values"),
+                F.sum(F.expr("aggregate(tokens, 0L, (a, x) -> a + x)"))
+                .cast("bigint")
+                .alias("token_checksum"),
+            )
+            .collect()
+        )
+    finally:
+        chunks.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "source string, n_docs bigint, n_values bigint, token_checksum bigint",
+    )
 
 
 def _q_manifest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -688,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_count": _q_run_count,
         "proj_closure": _q_proj_closure,
         "verify_roundtrip": _q_verify_roundtrip,
+        "resumable_roundtrip": _q_resumable_roundtrip,
         "manifest_agg": _q_manifest_agg,
         "topk_sources": _q_topk_sources,
         "token_histogram": _q_token_histogram,
@@ -943,6 +999,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT source,
                    count(*) AS docs_verified,
                    CAST(sum(n_tok) AS BIGINT) AS tokens_verified
+            FROM {_TOK}
+            GROUP BY source
+        """,
+        "resumable_roundtrip": f"""
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_values,
+                   CAST(sum(list_sum(tokens)) AS BIGINT) AS token_checksum
             FROM {_TOK}
             GROUP BY source
         """,
