@@ -22,6 +22,18 @@ DISTRIBUTED prefix sum over the narrow (source, order, length) triples
 single-window variant remains available (distributed_cumsum=False) as the
 equivalence reference. The heavy data movement (token slices -> sequences)
 is seq-keyed and fully parallel.
+
+Single-fat-exchange path (round-4 verdict #3): on unprepared input the
+token arrays are exchanged twice — once for the positions join back on
+(source, order), once seq-keyed for reassembly. Only the second is
+fundamental. `write_bucketed_tokens` materializes the token table
+bucketed + sorted by exactly the join key; Spark's bucketed scan then
+reports the HashPartitioning the join needs (alias-aware, so the internal
+(source, __ord) rename is transparent), the positions join runs with NO
+exchange or sort on the fat side (only the narrow cumsum rows shuffle to
+the bucket layout), and the packed plan carries the arrays through a
+SINGLE exchange. At 100 TB the bucketing cost is paid once by the table
+writer and amortized over every pack/epoch that reads it.
 """
 
 from __future__ import annotations
@@ -207,6 +219,32 @@ def pack_sequences(
             "source", "seq_id", "tokens", "n_tokens", "n_docs", "boundaries"
         )
     )
+
+
+def write_bucketed_tokens(
+    df: DataFrame,
+    table_name: str,
+    n_buckets: int,
+    doc_order: str = "doc_id",
+) -> DataFrame:
+    """Materialize a token table bucketed AND sorted by (source, doc_order)
+    — the exact join key of pack_sequences' positions join — and return the
+    catalog-backed table.
+
+    A pack_sequences over the returned table moves the token arrays
+    through a single exchange (the unavoidable seq-keyed reassembly): the
+    bucketed file scan already satisfies the join's distribution + ordering
+    requirement, so the fat side joins in place and only the narrow cumsum
+    rows shuffle. Write once, amortize over every pack that follows."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    (
+        df.write.bucketBy(n_buckets, "source", doc_order)
+        .sortBy("source", doc_order)
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+    return df.sparkSession.table(table_name)
 
 
 def split_train_val(

@@ -213,3 +213,51 @@ def test_pack_sequences_plan_quality(spark):
     frag = narrow.withColumn("__pid", F.lit(0)).join(off, ["__pid", "source"])
     fplan = frag._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in fplan or "BroadcastQueryStage" in fplan
+
+
+def test_pack_sequences_bucketed_single_fat_exchange(spark, tmp_path):
+    # round-4 verdict #3: over a table bucketed+sorted by the order key,
+    # the positions join runs with NO exchange on the fat (token-array)
+    # side — the plan's only hashpartitioning exchanges are the narrow
+    # cumsum rows shuffling to the bucket layout and the unavoidable
+    # seq-keyed reassembly; and the packed output is identical to the
+    # unbucketed path
+    from copybook_rs_spark.operators.packing import (
+        pack_sequences,
+        write_bucketed_tokens,
+    )
+
+    rows = [(f"d{i:03d}", list(range(i % 7 + 1)), i % 7 + 1, f"s{i % 2}")
+            for i in range(120)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        spark.sql("DROP TABLE IF EXISTS __test_tok_bucketed")
+        bt = write_bucketed_tokens(df, "__test_tok_bucketed", 4)
+        packed = pack_sequences(bt, 16)
+        plan = packed._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan  # fat scan supplies the join layout
+        ex = [
+            ln for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln
+        ]
+        assert len(ex) == 2, ex
+        assert sum("seq_id" in ln for ln in ex) == 1  # the ONE fat exchange
+        assert sum("__ord" in ln for ln in ex) == 1  # narrow cumsum rows
+        want = {
+            (r["source"], r["seq_id"], tuple(r["tokens"]),
+             tuple(r["boundaries"]), r["n_docs"])
+            for r in pack_sequences(df, 16).collect()
+        }
+        got = {
+            (r["source"], r["seq_id"], tuple(r["tokens"]),
+             tuple(r["boundaries"]), r["n_docs"])
+            for r in packed.collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS __test_tok_bucketed")
