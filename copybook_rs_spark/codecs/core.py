@@ -128,6 +128,11 @@ class ChunkStats:
     _uniq: np.ndarray | None = field(default=None, repr=False)
     _uniq_counts: np.ndarray | None = field(default=None, repr=False)
     _run_break_idx: np.ndarray | None = field(default=None, repr=False)
+    # full zigzag delta stream zigzag([v0, diffs...]) cached by analyze so
+    # _encode_delta skips recomputing it (same reuse contract as
+    # _run_break_idx: only ever attached to stats analyzed from the same
+    # array the encoder receives)
+    _zz_full: np.ndarray | None = field(default=None, repr=False)
 
     @classmethod
     def analyze(cls, vals: np.ndarray, deep: bool = True) -> "ChunkStats":
@@ -177,9 +182,12 @@ class ChunkStats:
         else:
             uniq, ucounts = None, None
             mode_cnt = 0
-        zz_first = vi.zigzag_encode(v[:1])
-        zz_rest = vi.zigzag_encode(diffs_u.view(np.int64))
-        max_zz = int(max(zz_first.max(), zz_rest.max()) if n > 1 else zz_first.max())
+        zz_full = np.empty(n, dtype=np.uint64)
+        vi.zigzag_encode(v[:1], out=zz_full[:1])
+        if n > 1:
+            vi.zigzag_encode(diffs_u.view(np.int64), out=zz_full[1:])
+        zz_rest = zz_full[1:]
+        max_zz = int(zz_full.max())
         # robust delta width: largest zigzag delta EXCLUDING the top
         # max(1, 1%) outliers (exact kth via partition) — distinguishes
         # "uniformly wide deltas" (delta can't win) from "small deltas +
@@ -212,6 +220,7 @@ class ChunkStats:
             _uniq=uniq,
             _uniq_counts=ucounts,
             _run_break_idx=breaks,
+            _zz_full=zz_full,
         )
 
 
@@ -265,15 +274,22 @@ def _encode_for(vals: np.ndarray, depth: int) -> bytes:
     return bytes([CODEC_FOR]) + _HDR_FOR.pack(n, ref) + _encode_sub_u64(shifted_u, mx)
 
 
-def _encode_delta(vals: np.ndarray, depth: int) -> bytes:
+def _encode_delta(
+    vals: np.ndarray, depth: int, stats: ChunkStats | None = None
+) -> bytes:
     v = np.ascontiguousarray(vals, dtype=np.int64)
     n = len(v)
-    vu = v.view(np.uint64)
-    deltas_u = np.empty(n, dtype=np.uint64)
-    if n:
-        deltas_u[0] = vu[0]
-        np.subtract(vu[1:], vu[:-1], out=deltas_u[1:])  # modular
-    zz = vi.zigzag_encode(deltas_u.view(np.int64))
+    if stats is not None and stats._zz_full is not None and stats.n == n:
+        # analyze already built zigzag([v0, diffs...]) for the delta-width
+        # stats; identical by construction to the stream below
+        zz = stats._zz_full
+    else:
+        vu = v.view(np.uint64)
+        deltas_u = np.empty(n, dtype=np.uint64)
+        if n:
+            deltas_u[0] = vu[0]
+            np.subtract(vu[1:], vu[:-1], out=deltas_u[1:])  # modular
+        zz = vi.zigzag_encode(deltas_u.view(np.int64))
     sub, _ = encode_array(zz.view(np.int64), codec="auto", depth=depth + 1)
     return bytes([CODEC_DELTA]) + _U32.pack(n) + sub
 
@@ -479,7 +495,7 @@ def _encode_named(name: str, v: np.ndarray, stats: ChunkStats | None, depth: int
     if name == "for":
         return _encode_for(v, depth)
     if name == "delta":
-        return _encode_delta(v, depth)
+        return _encode_delta(v, depth, stats)
     if name == "rle":
         return _encode_rle(v, depth, stats)
     if name == "dict":
