@@ -49,7 +49,7 @@ class SymbolTable:
 
     __slots__ = (
         "sym_len", "sym_bytes", "sym_val", "single_code", "by_len",
-        "prefix2", "has_multi",
+        "prefix2", "has_multi", "tab16", "lenbits16",
     )
 
     def __init__(self, sym_len: np.ndarray, sym_bytes: np.ndarray):
@@ -65,14 +65,31 @@ class SymbolTable:
         self.single_code = single_code
         by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         prefix2 = np.zeros(65536, dtype=bool)
+        # exact-code table for length-2 symbols (single gather, no search)
+        # and a per-prefix length bitmap: bit (L-3) set when some length-L
+        # symbol starts with that 2-byte prefix — _match gates each
+        # length's binary search to just the positions whose prefix can
+        # open a symbol of that length (round-5 profile: the ungated
+        # searchsorted over every candidate x 7 lengths was ~75% of
+        # compress; the round-2 "prefix gate didn't help" experiment gated
+        # only the WHOLE candidate set, not per length)
+        tab16 = np.full(65536, -1, dtype=np.int16)
+        lenbits16 = np.zeros(65536, dtype=np.uint8)
         for length in range(2, MAX_SYM_LEN + 1):
             codes = np.flatnonzero(self.sym_len == length)
             vals = self.sym_val[codes] & _len_mask(length)
             order = np.argsort(vals, kind="stable")
             by_len[length] = (vals[order], codes[order].astype(np.int64))
-            prefix2[(vals & np.uint64(0xFFFF)).astype(np.int64)] = True
+            p = (vals & np.uint64(0xFFFF)).astype(np.int64)
+            prefix2[p] = True
+            if length == 2:
+                tab16[vals.astype(np.int64)] = codes.astype(np.int16)
+            else:
+                lenbits16[p] |= np.uint8(1 << (length - 3))
         self.by_len = by_len
         self.prefix2 = prefix2
+        self.tab16 = tab16
+        self.lenbits16 = lenbits16
         self.has_multi = bool(prefix2.any())
 
     def serialize(self) -> bytes:
@@ -143,15 +160,28 @@ def _match(data: np.ndarray, table: SymbolTable, w: np.ndarray | None = None):
         )
         if len(cand):
             wc = w[cand]
-            for length in range(2, MAX_SYM_LEN + 1):
+            p16 = (wc & np.uint64(0xFFFF)).astype(np.int64)
+            # length 2: exact table lookup, no search (ascending-length
+            # assignment order preserved — longer matches overwrite, so
+            # the longest-match-wins result is unchanged)
+            code2 = table.tab16[p16]
+            hit2 = (code2 >= 0) & (cand + 2 <= n)
+            h2 = cand[hit2]
+            mlen[h2] = 2
+            mcode[h2] = code2[hit2]
+            lb = table.lenbits16[p16]
+            for length in range(3, MAX_SYM_LEN + 1):
                 vals, codes = table.by_len[length]
                 if len(vals) == 0:
                     continue
-                wv = wc & _len_mask(length)
+                sub = np.flatnonzero(lb & np.uint8(1 << (length - 3)))
+                if len(sub) == 0:
+                    continue
+                wv = wc[sub] & _len_mask(length)
                 ins = np.searchsorted(vals, wv)
                 ins_c = np.minimum(ins, len(vals) - 1)
-                hit = (vals[ins_c] == wv) & (cand + length <= n)
-                hp = cand[hit]
+                hit = (vals[ins_c] == wv) & (cand[sub] + length <= n)
+                hp = cand[sub[hit]]
                 mlen[hp] = length
                 mcode[hp] = codes[ins_c[hit]]
     return mlen, mcode, w
