@@ -855,7 +855,10 @@ def decode_extras(
         off += 1
         if len(body) < off + nl + 5:
             raise TruncatedBlobError("extras name truncated")
-        name = bytes(body[off : off + nl]).decode("utf-8")
+        try:
+            name = bytes(body[off : off + nl]).decode("utf-8")
+        except UnicodeDecodeError as e:
+            raise HeaderInvalidError("extras column name not utf-8") from e
         off += nl
         etype = body[off]
         off += 1
@@ -1194,7 +1197,12 @@ def describe_chunk(blob_bytes: bytes | memoryview) -> dict:
             off += 1
             if len(bodye) < off + nl + 1:
                 raise TruncatedBlobError("extras name truncated")
-            name = bytes(bodye[off : off + nl]).decode("utf-8")
+            try:
+                name = bytes(bodye[off : off + nl]).decode("utf-8")
+            except UnicodeDecodeError as e:
+                raise HeaderInvalidError(
+                    "extras column name not utf-8"
+                ) from e
             off += nl
             etype = bodye[off]
             off += 1

@@ -512,7 +512,9 @@ def _encode_named(name: str, v: np.ndarray, stats: ChunkStats | None, depth: int
 _DELTA_GATE_SAMPLE = 4096
 
 
-def _delta_skip_confirmed(v: np.ndarray, best_len: int, depth: int) -> bool:
+def _delta_skip_confirmed(
+    v: np.ndarray, best_len: int, depth: int, stats: ChunkStats | None = None
+) -> bool:
     """Confirm the run-free-wide-delta skip: build the EXACT zigzag stream
     `_encode_delta` would hand to the sub-cascade and certify, with checks
     that mirror the sub-cascade's own gates plus two independent optimistic
@@ -546,11 +548,14 @@ def _delta_skip_confirmed(v: np.ndarray, best_len: int, depth: int) -> bool:
     n = len(v)
     if n <= _DELTA_GATE_SAMPLE:
         return False  # sample == whole stream: gate saves nothing
-    vu = np.ascontiguousarray(v, dtype=np.int64).view(np.uint64)
-    d = np.empty(n, dtype=np.uint64)
-    d[0] = vu[0]
-    np.subtract(vu[1:], vu[:-1], out=d[1:])  # modular, as _encode_delta
-    zz = vi.zigzag_encode(d.view(np.int64)).view(np.uint64)
+    if stats is not None and stats._zz_full is not None and stats.n == n:
+        zz = stats._zz_full  # read-only below (np.sort copies)
+    else:
+        vu = np.ascontiguousarray(v, dtype=np.int64).view(np.uint64)
+        d = np.empty(n, dtype=np.uint64)
+        d[0] = vu[0]
+        np.subtract(vu[1:], vu[:-1], out=d[1:])  # modular, as _encode_delta
+        zz = vi.zigzag_encode(d.view(np.int64)).view(np.uint64)
     # --- layer 1: sub-cascade rle/patch branches must be provably closed
     if bool((zz[1:] >= zz[:-1]).all()):
         return False  # sorted zz: rle/delta-friendly downstream
@@ -653,7 +658,7 @@ def encode_array(
             stats.n_delta_runs > max(stats.n // 2, 4)
             and 0 < stats.zz_delta_p99
             and stats.zz_delta_p99 >= stats.vmax - stats.vmin
-        ) and _delta_skip_confirmed(v, len(best), depth):
+        ) and _delta_skip_confirmed(v, len(best), depth, stats):
             continue  # a run-free delta stream whose typical (p99) width
             # already covers the value range usually offers the cascade
             # nothing; _delta_skip_confirmed certifies that with exact

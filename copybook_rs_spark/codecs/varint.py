@@ -26,6 +26,9 @@ def zigzag_encode(vals: np.ndarray, out: np.ndarray | None = None) -> np.ndarray
     profile line on delta-heavy encode, round-5 profile)."""
     v = np.ascontiguousarray(vals, dtype=np.int64)
     dst = np.empty(len(v), dtype=np.uint64) if out is None else out
+    if out is not None and np.shares_memory(v, dst):
+        # the fused in-place form below reads v AFTER writing dst
+        raise ValueError("zigzag_encode: out must not alias vals")
     di = dst.view(np.int64)
     np.left_shift(v, 1, out=di)
     np.bitwise_xor(di, v >> 63, out=di)

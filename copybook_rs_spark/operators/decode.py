@@ -390,6 +390,22 @@ def decode_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]
     yield from make_decode_kernel(_ALL_COLUMNS, _TOKEN_PA_SCHEMA)(batches)
 
 
+def _resolve_columns(columns: list[str] | None, cfg) -> tuple[str, ...]:
+    """Canonical decode column resolution (single source of truth for
+    _plan_decode AND run_decode_resumable's schema fingerprint — the two
+    must never drift, or the pinned resume schema stops describing the
+    real shard output)."""
+    all_cols = _ALL_COLUMNS + (cfg.extra_names() if cfg is not None else ())
+    if columns is None:
+        return all_cols
+    unknown = set(columns) - set(all_cols)
+    if unknown:
+        from copybook_rs_spark.functions.projection import UnknownColumnError
+
+        raise UnknownColumnError(f"unknown decode columns {sorted(unknown)}")
+    return tuple(c for c in all_cols if c in set(columns))
+
+
 def _plan_decode(
     chunk_df: DataFrame,
     columns: list[str] | None,
@@ -398,16 +414,7 @@ def _plan_decode(
 ):
     """Shared column-resolution / schema / parallelism planning for
     decode_tokens and run_decode (single source of truth)."""
-    all_cols = _ALL_COLUMNS + (cfg.extra_names() if cfg is not None else ())
-    if columns is None:
-        cols = all_cols
-    else:
-        unknown = set(columns) - set(all_cols)
-        if unknown:
-            from copybook_rs_spark.functions.projection import UnknownColumnError
-
-            raise UnknownColumnError(f"unknown decode columns {sorted(unknown)}")
-        cols = tuple(c for c in all_cols if c in set(columns))
+    cols = _resolve_columns(columns, cfg)
     out_pa, out_spark = _build_schemas(cfg, cols)
     tok64 = cfg is not None and cfg.token_dtype == "int64"
     src = chunk_df.select("blob", "source")
@@ -753,27 +760,15 @@ def run_decode_resumable(
     fs, root_p = _hadoop_path(spark, shards_root)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
 
-    # resolve the requested output schema exactly as _plan_decode will —
-    # unknown-column validation runs BEFORE any metadata write, and the
-    # resolved schema string (names + types, incl. token dtype and typed
-    # extras) is pinned in _RESUME_META: resuming with different
-    # columns/cfg would mix shard schemas under one root and read_decoded
-    # would return nulls for the divergent columns — silent wrong data
-    # (ADVICE r4 #1), so it must fail typed like the n_shards guard.
-    all_cols = _ALL_COLUMNS + (cfg.extra_names() if cfg is not None else ())
-    if columns is not None:
-        unknown = set(columns) - set(all_cols)
-        if unknown:
-            from copybook_rs_spark.functions.projection import (
-                UnknownColumnError,
-            )
-
-            raise UnknownColumnError(
-                f"unknown decode columns {sorted(unknown)}"
-            )
-        fp_cols = tuple(c for c in all_cols if c in set(columns))
-    else:
-        fp_cols = all_cols
+    # resolve the requested output schema exactly as _plan_decode will
+    # (same shared resolver) — unknown-column validation runs BEFORE any
+    # metadata write, and the resolved schema string (names + types, incl.
+    # token dtype and typed extras) is pinned in _RESUME_META: resuming
+    # with different columns/cfg would mix shard schemas under one root
+    # and read_decoded would return nulls for the divergent columns —
+    # silent wrong data (ADVICE r4 #1), so it must fail typed like the
+    # n_shards guard.
+    fp_cols = _resolve_columns(columns, cfg)
     schema_fp = _build_schemas(cfg, fp_cols)[1].simpleString()
 
     shard_col = F.pmod(F.xxhash64("source", "part_id"), F.lit(n_shards))
@@ -831,7 +826,8 @@ def run_decode_resumable(
                 code="CBSP301",
             )
         meta_schema = meta.get("schema")
-        if meta_schema != schema_fp:
+        legacy_unpinned = meta_schema is None  # dir predates schema pinning
+        if not legacy_unpinned and meta_schema != schema_fp:
             raise EngineError(
                 f"resume with output schema {schema_fp!r} but {out_dir!r} "
                 f"was started with {meta_schema!r} — committed shards "
@@ -848,9 +844,29 @@ def run_decode_resumable(
             code="CBSP301",
         )
     else:
+        legacy_unpinned = False
         parent = meta_path.getParent()
         if parent is not None and not fs.exists(parent):
             fs.mkdirs(parent)
+        _fs_write_small_atomic(
+            spark, fs, meta_path,
+            _json.dumps({"n_shards": n_shards, "schema": schema_fp}),
+        )
+
+    # a pre-existing complete marker is stale the moment we re-run — drop
+    # it BEFORE any shard invalidation or typed abort below, so no exit
+    # path can leave a certified-complete marker over an out_dir whose
+    # stale shards were just deleted (review finding: a strict-resume
+    # raise after invalidation used to do exactly that)
+    fs.delete(jpath(os.path.join(out_dir, _COMPLETE_MARKER)), False)
+
+    if legacy_unpinned:
+        # dir written before schema pinning existed: shard schemas cannot
+        # be verified, so converge by re-decoding everything under a
+        # freshly pinned meta instead of refusing forever
+        for name in shard_dirs:
+            fs.delete(jpath(os.path.join(shards_root, name)), True)
+        shard_dirs = []
         _fs_write_small_atomic(
             spark, fs, meta_path,
             _json.dumps({"n_shards": n_shards, "schema": schema_fp}),
@@ -896,9 +912,6 @@ def run_decode_resumable(
             "chunks in committed shards; re-decode with a lenient policy "
             "or repair the table and start fresh"
         )
-    # a pre-existing complete marker is stale the moment we re-run;
-    # re-written after this run's budget check
-    fs.delete(jpath(os.path.join(out_dir, _COMPLETE_MARKER)), False)
 
     err_acc = sc.accumulator(0)
     sample_acc = sc.accumulator([], _SampleParam())

@@ -559,7 +559,9 @@ def test_describe_chunk_malformed_extras_valid_crc_typed():
     t_nl = bytearray(body)
     t_nl[1] = 0xFF  # name overruns the section
     t_trunc = bytearray(body[:5])  # truncated mid-grammar
-    for t in (t_pl, t_nl, t_trunc):
+    t_name = bytearray(body)
+    t_name[2:4] = b"\xff\xfe"  # column name not utf-8 (crc still valid)
+    for t in (t_pl, t_nl, t_trunc, t_name):
         crafted = reseal(bytes(t))
         with pytest.raises(EngineError):
             blob.describe_chunk(crafted)

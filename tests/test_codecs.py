@@ -63,6 +63,18 @@ def test_zigzag_varint_roundtrip(xs):
     np.testing.assert_array_equal(out, v)
 
 
+def test_zigzag_out_rejects_aliasing():
+    # the fused in-place form reads vals after writing out — an aliased
+    # buffer would silently corrupt negative values
+    v = np.array([-3, 5, -7], dtype=np.int64)
+    buf = np.empty(3, dtype=np.uint64)
+    np.testing.assert_array_equal(
+        vi.zigzag_encode(v, out=buf), vi.zigzag_encode(v)
+    )
+    with pytest.raises(ValueError, match="alias"):
+        vi.zigzag_encode(v, out=v.view(np.uint64))
+
+
 def test_varint_corrupt_raises():
     enc = vi.varint_encode(np.array([300, 5], dtype=np.uint64))
     with pytest.raises(EngineError):

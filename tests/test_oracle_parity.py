@@ -44,6 +44,18 @@ def _canon(rows, cols):
 
 QUERY_KEYS = sorted(entry_mod.queries().keys())
 
+# Build each query's DataFrame once and share it between the value-parity
+# and schema tests: most queries are lazy plans, but resumable_roundtrip
+# runs its whole encode+resume pipeline eagerly inside the query function
+# — executing it twice doubles the most expensive query in the suite.
+_SDF_CACHE: dict = {}
+
+
+def _sdf(spark, key):
+    if key not in _SDF_CACHE:
+        _SDF_CACHE[key] = entry_mod.queries()[key](spark, SF_DIR)
+    return _SDF_CACHE[key]
+
 # The driver's gate hashes RENDERED row values after sorting columns by
 # name; types whose text rendering differs between Spark and DuckDB
 # (DECIMAL scale/sign forms, intervals, ...) hash-mismatch even when the
@@ -61,7 +73,7 @@ HASH_SAFE_TYPES = {
 
 @pytest.mark.parametrize("key", QUERY_KEYS)
 def test_result_schema_is_hash_canonical(spark, key):
-    sdf = entry_mod.queries()[key](spark, SF_DIR)
+    sdf = _sdf(spark, key)
     bad = [
         (f.name, f.dataType.simpleString())
         for f in sdf.schema.fields
@@ -76,8 +88,7 @@ def test_result_schema_is_hash_canonical(spark, key):
 
 @pytest.mark.parametrize("key", QUERY_KEYS)
 def test_query_matches_oracle(spark, ddb, key):
-    q = entry_mod.queries()[key]
-    sdf = q(spark, SF_DIR)
+    sdf = _sdf(spark, key)
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
     oracle = entry_mod.oracle_sql().get(key)

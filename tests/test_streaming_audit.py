@@ -667,10 +667,53 @@ def test_run_decode_resumable_strict_resume_over_lenient_errors(spark, tmp_path)
         bad, out, options=DecodeOptions(policy="lenient", max_errors=k),
         n_shards=2,
     )
+    import os
+
     with pytest.raises(ErrorBudgetExceededError, match="strict resume"):
         run_decode_resumable(
             bad, out, options=DecodeOptions(policy="strict"), n_shards=2
         )
+    # the abort must not leave the stale completion marker behind (review
+    # finding: marker now drops BEFORE any invalidation or typed abort)
+    assert not os.path.exists(os.path.join(out, "_DECODE_COMPLETE"))
+
+
+def test_run_decode_resumable_legacy_meta_converges(spark, tmp_path):
+    # an out_dir whose meta predates schema pinning (no "schema" key)
+    # cannot have its shard schemas verified: resume re-decodes everything
+    # under a freshly pinned meta instead of refusing forever
+    import json
+    import os
+
+    from copybook_rs_spark.operators.decode import (
+        decode_tokens,
+        read_decoded,
+        run_decode_resumable,
+    )
+
+    df = synthetic_tokens(spark, "mixed", 120)
+    chunks = encode_tokens(df, CFG).cache()
+    out = str(tmp_path / "dec")
+    run_decode_resumable(chunks, out, n_shards=2)
+    meta_p = os.path.join(out, "_RESUME_META.json")
+    with open(meta_p, "w") as f:
+        json.dump({"n_shards": 2}, f)  # legacy: no schema pin
+    crc = os.path.join(out, "._RESUME_META.json.crc")
+    if os.path.exists(crc):  # out-of-band rewrite invalidates hadoop's crc
+        os.remove(crc)
+    summary = run_decode_resumable(chunks, out, n_shards=2)
+    assert summary["shards_done"] == 2 and summary["shards_skipped"] == 0
+    with open(meta_p) as f:
+        assert json.load(f)["schema"]  # backfilled
+    want = {
+        (r["doc_id"], tuple(r["tokens"]))
+        for r in decode_tokens(chunks).collect()
+    }
+    got = {
+        (r["doc_id"], tuple(r["tokens"]))
+        for r in read_decoded(spark, out).collect()
+    }
+    assert got == want
 
 
 def test_run_decode_resumable_tighter_budget_not_recertified(spark, tmp_path):
