@@ -165,12 +165,16 @@ class ChunkStats:
             # bincount — O(n + range), no sort. Tie-break identical to the
             # unique path (argmax returns the FIRST max = smallest value),
             # so every selection decision and payload byte is unchanged.
-            # _uniq stays None; the dict candidate (depth 0 only) re-derives
-            # it on the rare low-cardinality streams where dict is tried.
+            # The sorted uniques + counts fall out of the histogram for
+            # free (vmin + nonzero bins, in value order == np.unique), so
+            # the dict candidate never pays np.unique's O(n log n) argsort
+            # on these streams (round-5 profile: 27 ms/chunk, 13%).
             counts = np.bincount(v - vmin)
             mode_idx = int(np.argmax(counts))
-            uniq, ucounts = None, None
-            n_dist = int(np.count_nonzero(counts))
+            nz = np.flatnonzero(counts)
+            uniq = nz + vmin
+            ucounts = counts[nz]
+            n_dist = len(nz)
             mode_cnt = int(counts[mode_idx])
             mode_val = vmin + mode_idx
         elif deep:
@@ -183,7 +187,11 @@ class ChunkStats:
             uniq, ucounts = None, None
             mode_cnt = 0
         zz_full = np.empty(n, dtype=np.uint64)
-        vi.zigzag_encode(v[:1], out=zz_full[:1])
+        # scalar zigzag for the first element (python-int two's-complement
+        # arithmetic + 64-bit mask == the vector op; saves a 1-element
+        # array round-trip per analyze — 72 analyses/chunk)
+        x = int(v[0])
+        zz_full[0] = ((x << 1) ^ (x >> 63)) & 0xFFFFFFFFFFFFFFFF
         if n > 1:
             vi.zigzag_encode(diffs_u.view(np.int64), out=zz_full[1:])
         zz_rest = zz_full[1:]
