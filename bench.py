@@ -95,6 +95,18 @@ def main() -> None:
         build_manifest(chunks).collect()
         times["manifest_agg"] = time.perf_counter() - t
 
+        # training-sequence packing over the decoded-equivalent token table
+        # (L=2048, distributed prefix sum + slice shuffle) — tracked so the
+        # packing stack has a per-round number like encode/decode
+        from copybook_rs_spark.operators.packing import pack_sequences
+
+        t = time.perf_counter()
+        packed_tokens = (
+            pack_sequences(tok, 2048).agg(F.sum("n_tokens")).collect()[0][0]
+        )
+        times["pack_sequences"] = time.perf_counter() - t
+        assert int(packed_tokens) == n_tokens, "packing token-count mismatch"
+
         sizes = chunks.agg(
             F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc")
         ).collect()[0]
@@ -132,6 +144,7 @@ def main() -> None:
                 n_tokens / times["encode_pregrouped_nosink"]
             ),
             "decode_tokens_per_sec": round(n_tokens / times["decode"]),
+            "pack_tokens_per_sec": round(n_tokens / times["pack_sequences"]),
             "bytes_per_token": round(int(sizes["enc"]) / n_tokens, 4),
             "ref_parquet_zstd_bytes_per_token": round(ref_bytes / n_tokens, 4),
         }
