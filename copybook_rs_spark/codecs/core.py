@@ -126,7 +126,6 @@ class ChunkStats:
     mode_value: int = 0  # the most common value (valid iff mode_count > 0;
     # ties broken toward the SMALLEST value on every stats path)
     _uniq: np.ndarray | None = field(default=None, repr=False)
-    _uniq_counts: np.ndarray | None = field(default=None, repr=False)
     _run_break_idx: np.ndarray | None = field(default=None, repr=False)
     # full zigzag delta stream zigzag([v0, diffs...]) cached by analyze so
     # _encode_delta skips recomputing it (same reuse contract as
@@ -135,10 +134,14 @@ class ChunkStats:
     _zz_full: np.ndarray | None = field(default=None, repr=False)
 
     @classmethod
-    def analyze(cls, vals: np.ndarray, deep: bool = True) -> "ChunkStats":
+    def analyze(
+        cls, vals: np.ndarray, deep: bool = True, with_uniq: bool = True
+    ) -> "ChunkStats":
         """deep=False skips np.unique (the costly pass) — used for nested
         payloads where dict isn't a candidate; n_distinct is then an upper
-        bound (n), not exact."""
+        bound (n), not exact. with_uniq=False skips materializing the
+        sorted uniques on the bincount path (dict is a depth-0-only
+        candidate, so nested analyses never need them)."""
         n = len(vals)
         if n == 0:
             return cls(0, 0, 0, 0, 0, True, 0, 0)
@@ -171,10 +174,13 @@ class ChunkStats:
             # on these streams (round-5 profile: 27 ms/chunk, 13%).
             counts = np.bincount(v - vmin)
             mode_idx = int(np.argmax(counts))
-            nz = np.flatnonzero(counts)
-            uniq = nz + vmin
-            ucounts = counts[nz]
-            n_dist = len(nz)
+            if with_uniq:
+                nz = np.flatnonzero(counts)
+                uniq = nz + vmin
+                n_dist = len(nz)
+            else:
+                uniq = None
+                n_dist = int(np.count_nonzero(counts))
             mode_cnt = int(counts[mode_idx])
             mode_val = vmin + mode_idx
         elif deep:
@@ -183,8 +189,10 @@ class ChunkStats:
             mode_idx = int(np.argmax(ucounts))
             mode_cnt = int(ucounts[mode_idx])
             mode_val = int(uniq[mode_idx])
+            if not with_uniq:
+                uniq = None
         else:
-            uniq, ucounts = None, None
+            uniq = None
             mode_cnt = 0
         zz_full = np.empty(n, dtype=np.uint64)
         # scalar zigzag for the first element (python-int two's-complement
@@ -226,7 +234,6 @@ class ChunkStats:
             mode_count=mode_cnt,
             mode_value=mode_val,
             _uniq=uniq,
-            _uniq_counts=ucounts,
             _run_break_idx=breaks,
             _zz_full=zz_full,
         )
@@ -618,7 +625,9 @@ def encode_array(
     if stats is None:
         # deep stats (unique + counts) through depth 2 so dict gating is
         # exact and patch can see the mode of delta/index sub-streams
-        stats = ChunkStats.analyze(v, deep=(depth <= 2))
+        stats = ChunkStats.analyze(
+            v, deep=(depth <= 2), with_uniq=(depth == 0)
+        )
     names = _DEPTH_CANDIDATES[min(depth, _MAX_DEPTH)]
     est = estimate_sizes(stats)
     lb = _lower_bounds(stats)
