@@ -625,22 +625,23 @@ def _decode_values(
             d32[~is_start] = (zz32 >> np.uint32(1)) ^ -(zz32 & np.uint32(1))
         c32 = np.cumsum(d32, dtype=np.uint32)
         base32 = firsts.astype(np.uint32) - c32[ne_starts]  # per-doc, k-sized
-        doc_of = np.repeat(np.arange(k, dtype=np.int32), lens[nonempty])
-        out32 = c32 + base32[doc_of]
-        return out32.view(np.int32)
+        # telescoped rebase: writing base DIFFS at doc starts and taking a
+        # second cumsum equals c32 + base32[doc_of] (modular telescoping;
+        # d32 is 0 at starts), without materializing the n-sized doc_of
+        # repeat or paying the per-element gather
+        d32[ne_starts] = np.diff(base32, prepend=np.uint32(0))
+        return np.cumsum(d32, dtype=np.uint32).view(np.int32)
     intra = vi.zigzag_decode(
         np.ascontiguousarray(intra_zz, dtype=np.int64).view(np.uint64)
     )
     d = np.zeros(n_values, dtype=np.uint64)
     d[~is_start] = intra.view(np.uint64)
     c = np.cumsum(d)  # modular prefix of within-doc deltas (0 at doc starts)
-    doc_of = np.repeat(np.arange(k, dtype=np.int64), lens[nonempty])
-    out = (
-        firsts.view(np.uint64)[doc_of]
-        + c
-        - c[ne_starts][doc_of]
-    )
-    return out.view(np.int64)
+    base = firsts.view(np.uint64) - c[ne_starts]  # per-doc, k-sized
+    # telescoped rebase (see 32-bit lane above): second cumsum over base
+    # diffs scattered at doc starts == firsts[doc_of] + c - c[starts][doc_of]
+    d[ne_starts] = np.diff(base, prepend=np.uint64(0))
+    return np.cumsum(d).view(np.int64)
 
 
 ETYPE_INT64 = 0
