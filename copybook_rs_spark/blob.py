@@ -402,7 +402,12 @@ def _decode_template(buf: memoryview, doc_lens: np.ndarray) -> bytes:
     max_ls = wl.max(axis=0)
     width = lit_len + int(max_ls.sum())
     pad = np.empty((n, width), dtype=np.uint8)
-    valid = np.ones((n, width), dtype=bool)
+    # fixed-width fast path: zero-padded machine ids (every doc the same
+    # digit count per field) need no mask — the padded matrix IS the
+    # output, row-major. `valid` is built lazily only when some field is
+    # actually variable-width (boolean advanced indexing over n x width
+    # was the top cost of template decode at ~2.3M ids/s).
+    valid: np.ndarray | None = None
     seg_starts = np.zeros(k + 2, dtype=np.int64)
     np.cumsum(seg, out=seg_starts[1 : k + 2])
     col = 0
@@ -422,8 +427,14 @@ def _decode_template(buf: memoryview, doc_lens: np.ndarray) -> bytes:
                 np.add(v % 10, 48, out=pad[:, col + c], casting="unsafe")
                 v //= 10
             # right-aligned: column c holds a real digit iff c >= m - len
-            valid[:, col : col + m] = cols[None, :] >= (m - wl[:, j])[:, None]
+            shortfall = m - wl[:, j]
+            if shortfall.any():
+                if valid is None:
+                    valid = np.ones((n, width), dtype=bool)
+                valid[:, col : col + m] = cols[None, :] >= shortfall[:, None]
             col += m
+    if valid is None:
+        return pad.tobytes()
     return pad[valid].tobytes()
 
 
