@@ -418,7 +418,6 @@ def _decode_template(buf: memoryview, doc_lens: np.ndarray) -> bytes:
             col += sl
         if j < k:
             m = int(max_ls[j])
-            cols = np.arange(m, dtype=np.int64)
             # peel digits right-to-left with one divmod-by-10 per column —
             # m divides per value instead of the 2m of the (v // 10^p) % 10
             # matrix, and the running quotient shrinks every step
@@ -431,6 +430,7 @@ def _decode_template(buf: memoryview, doc_lens: np.ndarray) -> bytes:
             if shortfall.any():
                 if valid is None:
                     valid = np.ones((n, width), dtype=bool)
+                cols = np.arange(m, dtype=np.int64)
                 valid[:, col : col + m] = cols[None, :] >= shortfall[:, None]
             col += m
     if valid is None:
@@ -612,6 +612,10 @@ def _decode_values(
     nonempty = lens > 0
     ne_starts = starts[nonempty]
     k = int(nonempty.sum())
+    if k == 0 and n_values:
+        # no nonempty doc can own these values — a crafted section must
+        # fail typed, never cumsum fabricated data (review finding)
+        raise CountMismatchError("doc-aware values: values without docs")
     if len(firsts) != k:
         raise CountMismatchError("doc-aware values: firsts count mismatch")
     if len(intra_zz) != n_values - k:
@@ -634,37 +638,38 @@ def _decode_values(
                 else intra_zz.astype(np.uint32)
             )
             d32[~is_start] = (zz32 >> np.uint32(1)) ^ -(zz32 & np.uint32(1))
-        # telescoped rebase in ONE n-sized cumsum: the value at doc start
-        # s_j must jump to firsts[j], i.e. the scattered start delta is
-        # firsts[j] - firsts[j-1] - (sum of doc j-1's intra deltas). The
-        # per-doc sums come from ONE reduceat pass (measured ~2.3x faster
-        # than a second full cumsum); everything is modular uint32, exact
-        # under the cert32 contract.
-        f32 = firsts.astype(np.uint32)
-        docsum = np.add.reduceat(d32, ne_starts) if k else f32[:0]
-        h = np.empty(k, dtype=np.uint32)
-        if k:
-            h[0] = f32[0]
-            np.subtract(f32[1:], f32[:-1], out=h[1:])
-            h[1:] -= docsum[:-1]
-        d32[ne_starts] = h
-        return np.cumsum(d32, dtype=np.uint32).view(np.int32)
+        return _telescoped_rebase(
+            d32, firsts.astype(np.uint32), ne_starts, k
+        ).view(np.int32)
     intra = vi.zigzag_decode(
         np.ascontiguousarray(intra_zz, dtype=np.int64).view(np.uint64)
     )
     d = np.zeros(n_values, dtype=np.uint64)
     d[~is_start] = intra.view(np.uint64)
-    # telescoped rebase in one cumsum (see the 32-bit lane): start deltas
-    # = diff(firsts) minus the previous doc's intra-delta sum (reduceat)
-    f64 = firsts.view(np.uint64)
-    docsum = np.add.reduceat(d, ne_starts) if k else f64[:0]
-    h = np.empty(k, dtype=np.uint64)
+    return _telescoped_rebase(d, firsts.view(np.uint64), ne_starts, k).view(
+        np.int64
+    )
+
+
+def _telescoped_rebase(
+    d: np.ndarray, firsts: np.ndarray, ne_starts: np.ndarray, k: int
+) -> np.ndarray:
+    """Shared by both mode-1 lanes (dtype comes from `d`/`firsts`, uint32
+    or uint64 — all arithmetic modular): rebase per-doc delta streams in
+    ONE n-sized cumsum. The value at doc start s_j must jump to firsts[j],
+    so the scattered start delta is firsts[j] - firsts[j-1] - (sum of doc
+    j-1's intra deltas); per-doc sums come from ONE reduceat pass
+    (measured ~2.3x faster than a second full cumsum). Mutates `d`
+    (start positions are zero on entry) and returns the cumsum."""
+    dt = d.dtype
+    docsum = np.add.reduceat(d, ne_starts) if k else firsts[:0]
+    h = np.empty(k, dtype=dt)
     if k:
-        h[0] = f64[0]
-        np.subtract(f64[1:], f64[:-1], out=h[1:])
+        h[0] = firsts[0]
+        np.subtract(firsts[1:], firsts[:-1], out=h[1:])
         h[1:] -= docsum[:-1]
     d[ne_starts] = h
-    return np.cumsum(d).view(np.int64)
+    return np.cumsum(d, dtype=dt)
 
 
 ETYPE_INT64 = 0
@@ -1068,7 +1073,10 @@ def decode_chunk(
         raise CountMismatchError("lengths count != n_rows")
     if n_rows and (lengths < 0).any():
         raise PayloadCorruptError("negative token count")
-    if n_rows and int(lengths.sum()) != n_values:
+    # no n_rows guard: empty lengths sum to 0, so a crafted header with
+    # n_rows=0 but n_values>0 fails here instead of decoding fabricated
+    # values (review finding after the telescoped-rebase rewrite)
+    if int(lengths.sum() if n_rows else 0) != n_values:
         raise CountMismatchError("sum(lengths) != n_values")
     values: np.ndarray | None = None
     if need_values:

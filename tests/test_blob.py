@@ -567,3 +567,24 @@ def test_describe_chunk_malformed_extras_valid_crc_typed():
             blob.describe_chunk(crafted)
         with pytest.raises(EngineError):
             blob.decode_extras(crafted, n)
+
+
+def test_mode1_values_without_docs_typed():
+    # review finding after the telescoped-rebase rewrite: a crafted mode-1
+    # section with zero nonempty docs but n_values > 0 must fail typed,
+    # never cumsum fabricated values
+    import struct
+
+    import numpy as np
+
+    from copybook_rs_spark import blob
+    from copybook_rs_spark.codecs import core
+    from copybook_rs_spark.errors import EngineError
+
+    firsts = core.encode_array(np.array([], dtype=np.int64))[0]
+    intra = core.encode_array(np.array([1, 2, 3], dtype=np.int64))[0]
+    sec = bytes([1]) + struct.pack("<I", len(firsts)) + firsts + intra
+    empty_lens = np.array([], dtype=np.int64)
+    for cert32 in (False, True):
+        with pytest.raises(EngineError):
+            blob._decode_values(memoryview(sec), 3, empty_lens, cert32=cert32)
