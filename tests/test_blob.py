@@ -588,3 +588,79 @@ def test_mode1_values_without_docs_typed():
     for cert32 in (False, True):
         with pytest.raises(EngineError):
             blob._decode_values(memoryview(sec), 3, empty_lens, cert32=cert32)
+
+
+def test_resealed_crc_mutation_fuzz_typed_or_clean():
+    # adversarial net for the whole decode surface: an attacker who can
+    # RESEAL the crcs after mutating bytes produces structurally corrupt
+    # but checksum-valid blobs. Every such blob must either decode without
+    # error (the mutation made a different VALID blob) or raise a typed
+    # EngineError - never IndexError / struct.error / UnicodeDecodeError /
+    # ValueError out of numpy. (The committed bit-flip fuzz can't reach
+    # these paths: unresealed flips die at the crc first. The round-5
+    # review found one member of this class by hand - values-without-docs;
+    # this automates the class.)
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from copybook_rs_spark import blob
+    from copybook_rs_spark.errors import EngineError
+
+    rng = np.random.default_rng(99)
+    n = 30
+    ids = [f"w/{i:04d}" for i in range(n)]
+    db = "".join(ids).encode()
+    dl = np.full(n, 6, dtype=np.int64)
+    tl = rng.integers(0, 9, n).astype(np.int64)
+    tv = rng.integers(0, 5000, int(tl.sum())).astype(np.int64)
+    el = rng.integers(0, 4, n).astype(np.int64)
+    ev = rng.integers(-(2**40), 2**40, int(el.sum())).astype(np.int64)
+    fl = rng.integers(0, 3, n).astype(np.int64)
+    fv = rng.standard_normal(int(fl.sum())).astype(np.float32)
+    sl_ = rng.integers(0, 8, n).astype(np.int64)
+    sv_ = np.frombuffer(
+        bytes(rng.integers(97, 123, int(sl_.sum())).astype(np.uint8)),
+        dtype=np.uint8,
+    )
+    b, _ = blob.encode_chunk(
+        db, dl, tl, tv,
+        extras=[
+            ("aux", "int64", el, ev),
+            ("emb", "float32", fl, fv),
+            ("txt", "string", sl_, sv_),
+        ],
+    )
+
+    def reseal(raw: bytearray) -> bytes:
+        sd, sl, sv = struct.unpack_from("<III", raw, 22)
+        vmin, vmax = struct.unpack_from("<qq", raw, 34)
+        end = min(blob.HEADER_LEN + sd + sl + sv, len(raw))
+        body = bytes(raw[blob.HEADER_LEN:end])
+        crc = zlib.crc32(struct.pack("<qq", vmin, vmax), zlib.crc32(body))
+        struct.pack_into("<I", raw, 18, crc & 0xFFFFFFFF)
+        if len(raw) - end >= 5:
+            tcrc = zlib.crc32(bytes(raw[end + 4:])) & 0xFFFFFFFF
+            struct.pack_into("<I", raw, end, tcrc)
+        return bytes(raw)
+
+    bad = []
+    for trial in range(2000):
+        raw = bytearray(b)
+        for _ in range(int(rng.integers(1, 4))):
+            pos = int(rng.integers(4, len(raw)))  # keep the magic intact
+            raw[pos] = int(rng.integers(0, 256))
+        crafted = reseal(raw)
+        for fn in (
+            lambda c: blob.decode_chunk(c),
+            lambda c: blob.decode_extras(c, n),
+            lambda c: blob.describe_chunk(c),
+        ):
+            try:
+                fn(crafted)
+            except EngineError:
+                pass
+            except Exception as e:  # noqa: BLE001 - the assertion itself
+                bad.append((trial, fn.__name__, type(e).__name__, str(e)[:80]))
+    assert not bad, bad[:5]
