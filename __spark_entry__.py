@@ -155,6 +155,37 @@ def _q_resumable_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extras_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Schema evolution: append a per-doc int64 column to an ALREADY
+    # encoded chunk table (operators/extras.py::append_extra_column —
+    # only the extras tail is rebuilt; tokens are never re-encoded, body
+    # crcs provably unchanged), then decode WITH the new column and
+    # aggregate it. Oracle recomputes the same column directly from the
+    # source table, so a lost doc, a misordered value, or a corrupted
+    # tail anywhere breaks the sums.
+    from copybook_rs_spark.operators import append_extra_column, decode_tokens
+
+    tok = token_table(spark, sf_dir)
+    cfg = EncodeConfig(
+        chunk_values=4096, target_values_per_part=32_768, shuffle_partitions=8
+    )
+    chunks = encode_tokens(tok, cfg)
+    vals = tok.select(
+        "doc_id", (F.col("n_tok") * 3 + 7).cast("long").alias("q")
+    )
+    appended = append_extra_column(chunks, vals, "q:int64", value_col="q")
+    dec_cfg = EncodeConfig(
+        chunk_values=4096, target_values_per_part=32_768,
+        shuffle_partitions=8, extra_columns=("q",),
+    )
+    dec = decode_tokens(appended, cfg=dec_cfg)
+    return dec.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_values"),
+        F.sum(F.expr("q[0]")).cast("bigint").alias("q_sum"),
+    )
+
+
 def _q_manifest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A1 RunSummary analogue: manifest totals must equal input totals.
     tok = token_table(spark, sf_dir)
@@ -744,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proj_closure": _q_proj_closure,
         "verify_roundtrip": _q_verify_roundtrip,
         "resumable_roundtrip": _q_resumable_roundtrip,
+        "extras_append": _q_extras_append,
         "manifest_agg": _q_manifest_agg,
         "topk_sources": _q_topk_sources,
         "token_histogram": _q_token_histogram,
@@ -1007,6 +1039,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(n_tok) AS BIGINT) AS n_values,
                    CAST(sum(list_sum(tokens)) AS BIGINT) AS token_checksum
+            FROM {_TOK}
+            GROUP BY source
+        """,
+        "extras_append": f"""
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_values,
+                   CAST(sum(n_tok * 3 + 7) AS BIGINT) AS q_sum
             FROM {_TOK}
             GROUP BY source
         """,

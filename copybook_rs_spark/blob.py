@@ -839,6 +839,52 @@ def _encode_extras(
     return _U32.pack(zlib.crc32(body) & 0xFFFFFFFF) + body, tables_out
 
 
+def append_extras(
+    blob_bytes: bytes | memoryview,
+    new_extras: list[tuple[str, str, np.ndarray, np.ndarray]],
+    fsst_cache: dict | None = None,
+) -> bytes:
+    """Append typed extra columns to an EXISTING chunk blob without
+    touching the doc/lengths/values sections: the main header, body, and
+    body crc stay byte-identical (extras are a self-delimiting tail with
+    their own crc — the schema-evolution primitive: annotate an encoded
+    corpus with a new column instead of re-encoding the tokens).
+
+    Existing extras are decoded and re-encoded together with the new
+    columns in section order (the tail is one crc-guarded unit; the
+    re-encode is decode-equal but not promised byte-equal to the original
+    tail — FSST table state may differ). Duplicate names and
+    lens/n_rows mismatches raise typed errors. Pure function of the data:
+    appending the same columns to the same blob yields identical bytes at
+    any parallelism."""
+    buf = memoryview(blob_bytes)
+    if len(buf) < HEADER_LEN:
+        raise TruncatedBlobError("blob shorter than header")
+    magic, version, _, n_rows, _, _, sd, sl, sv, _, _ = _HEADER.unpack_from(buf)
+    if magic != MAGIC:
+        raise BadMagicError(f"bad magic {magic!r}")
+    if version != VERSION:
+        raise HeaderInvalidError(f"unsupported version {version}")
+    end = HEADER_LEN + sd + sl + sv
+    if len(buf) < end:
+        raise TruncatedBlobError("blob truncated before extras")
+    existing = decode_extras(buf, n_rows)  # dict preserves section order
+    seen = set(existing)
+    for name, _etype, el, _ev in new_extras:
+        if name in seen:
+            raise HeaderInvalidError(
+                f"extras[{name}]: column already exists in blob"
+            )
+        seen.add(name)
+        if len(el) != n_rows:
+            raise CountMismatchError(f"extras[{name}]: lengths != n_rows")
+    all_extras = [
+        (n, et, el, ev) for n, (et, el, ev) in existing.items()
+    ] + list(new_extras)
+    sec, _ = _encode_extras(all_extras, fsst_cache)
+    return bytes(buf[:end]) + sec
+
+
 def decode_extras(
     blob_bytes: bytes | memoryview,
     n_rows: int,

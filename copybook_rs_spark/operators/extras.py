@@ -1,0 +1,201 @@
+"""Schema evolution for encoded chunk tables: append a typed extra column
+to already-encoded blobs without re-encoding tokens.
+
+The engine-side answer to "annotate 100 TB of encoded tokens with a new
+per-document column" (quality scores, dedup cluster ids, language tags):
+the blob's doc/lengths/values sections and body crc stay byte-identical —
+only the self-delimiting extras tail is rebuilt (blob.append_extras), so
+the job's I/O is the compressed blobs + the new column, never a token
+re-encode. Reference analogue: the closest the reference offers is a full
+re-run of encode with a wider schema (no in-place evolution); Iceberg-style
+column-add is the warehouse-side equivalent this implements engine-side.
+
+Scale shape: one narrow doc-map pass over the blobs (doc-id sections only,
+values never decompressed), a narrow join with the new values on doc_id,
+and ONE shuffle of the compressed blobs keyed by chunk_id for the tail
+rewrite. Determinism: the appended table is a pure function of the inputs
+(invariant 2) — same chunks + same values => byte-identical new blobs at
+any parallelism.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
+
+from copybook_rs_spark import blob
+from copybook_rs_spark.config import EncodeConfig, decimal_params
+from copybook_rs_spark.errors import CountMismatchError, PipelineContractError
+from copybook_rs_spark.operators.encode import (
+    _CHUNK_PA_SCHEMA,
+    _decimal_parts,
+    _extra_raw_width,
+    CHUNK_SCHEMA,
+)
+
+_SPARK_VALUE_TYPES = {
+    "int64": "long",
+    "float32": "float",
+    "float64": "double",
+    "string": "string",
+}
+
+_NP_VALUE_TYPES = {
+    "int64": np.int64,
+    "float32": np.float32,
+    "float64": np.float64,
+}
+
+
+def _doc_map_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """(chunk_id, blob) -> (chunk_id, doc_id, __ord): doc-id sections only;
+    token values are never decompressed (projection pushdown into the
+    blob)."""
+    schema = pa.schema(
+        [("chunk_id", pa.string()), ("doc_id", pa.string()), ("__ord", pa.int32())]
+    )
+    for b in batches:
+        cids = b.column("chunk_id")
+        blobs = b.column("blob")
+        for i in range(b.num_rows):
+            doc_b, doc_l, _lens, _ = blob.decode_chunk(
+                blobs[i].as_py(), need_values=False
+            )
+            n = len(doc_l)
+            offs = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(doc_l, out=offs[1:])
+            doc_arr = pa.StringArray.from_buffers(
+                n, pa.py_buffer(offs.tobytes()), pa.py_buffer(doc_b)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([cids[i].as_py()] * n, type=pa.string()),
+                    doc_arr,
+                    pa.array(np.arange(n, dtype=np.int32)),
+                ],
+                schema=schema,
+            )
+
+
+def _column_arrays(etype: str, structs: pa.Array):
+    """One chunk's sorted (ord, value) StructArray -> (lens, vals) numpy
+    arrays in the blob extras convention for `etype`."""
+    vals = structs.field("value")
+    if vals.null_count:
+        raise PipelineContractError(
+            "append_extra_column: null value after cast — the values table "
+            "must cover every doc_id with a castable value"
+        )
+    n = len(vals)
+    if etype == "string":
+        enc = [v.as_py().encode("utf-8") for v in vals]
+        lens = np.array([len(x) for x in enc], dtype=np.int64)
+        return lens, np.frombuffer(b"".join(enc), dtype=np.uint8)
+    lens = np.ones(n, dtype=np.int64)
+    if decimal_params(etype) is not None:
+        return lens, _decimal_parts(vals)[1]
+    return lens, vals.to_numpy(zero_copy_only=False).astype(_NP_VALUE_TYPES[etype])
+
+
+def make_append_kernel(name: str, etype: str):
+    """Arrow kernel: chunk rows + per-chunk sorted values -> chunk rows
+    whose blobs carry the new extras column (main sections untouched)."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            cols = {c: b.column(c) for c in b.schema.names}
+            rows = []
+            for i in range(b.num_rows):
+                cid = cols["chunk_id"][i].as_py()
+                pairs = cols["__pairs"][i]
+                missing = cols["__missing"][i].as_py()
+                if not pairs.is_valid or (missing is not None and missing):
+                    raise PipelineContractError(
+                        f"append_extra_column[{name}]: values table does "
+                        f"not cover every document of chunk {cid!r}"
+                    )
+                pl = pairs.values
+                n_rows = int(cols["n_rows"][i].as_py())
+                if len(pl) != n_rows:
+                    raise CountMismatchError(
+                        f"append_extra_column[{name}]: {len(pl)} values "
+                        f"for {n_rows} docs in chunk {cid!r}"
+                    )
+                lens, vals = _column_arrays(etype, pl)
+                new_blob = blob.append_extras(
+                    cols["blob"][i].as_py(), [(name, etype, lens, vals)]
+                )
+                row = {
+                    f.name: cols[f.name][i].as_py()
+                    for f in _CHUNK_PA_SCHEMA
+                    if f.name not in ("blob", "enc_bytes", "raw_bytes")
+                }
+                row["blob"] = new_blob
+                row["enc_bytes"] = len(new_blob)
+                row["raw_bytes"] = int(cols["raw_bytes"][i].as_py()) + (
+                    _extra_raw_width(etype) * len(vals)
+                )
+                rows.append(row)
+            if rows:
+                yield pa.RecordBatch.from_pylist(rows, schema=_CHUNK_PA_SCHEMA)
+
+    return kernel
+
+
+def append_extra_column(
+    chunk_df: DataFrame,
+    values_df: DataFrame,
+    colspec: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Chunk table + per-document values -> chunk table whose blobs carry
+    one more typed extras column (see module docstring).
+
+    colspec: "name:type" with type one of int64 | float32 | float64 |
+    string | decimal(p,s) (bare name = int64) — validated by the same
+    parser EncodeConfig uses, so decoding the result just needs a cfg
+    whose extra_columns includes the same spec.
+    values_df: (doc_id, <value_col>) with EXACTLY one row per document of
+    the chunk table; duplicate doc_ids, missing documents, or null/
+    uncastable values fail typed (a column with holes needs an explicit
+    sentinel chosen by the caller, never an implicit one chosen by the
+    engine)."""
+    cfg = EncodeConfig(extra_columns=(colspec,))  # validation + parsing
+    ((name, etype),) = cfg.extra_specs()
+    dp = decimal_params(etype)
+    sql_t = f"decimal({dp[0]},{dp[1]})" if dp else _SPARK_VALUE_TYPES[etype]
+    vals = values_df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col(value_col).cast(sql_t).alias("value"),
+    )
+    dup = (
+        vals.groupBy("doc_id").count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise PipelineContractError(
+            "append_extra_column: values table has duplicate doc_ids — "
+            "one value per document is required"
+        )
+    doc_map = chunk_df.select("chunk_id", "blob").mapInArrow(
+        _doc_map_kernel, "chunk_id string, doc_id string, __ord int"
+    )
+    per_chunk = (
+        doc_map.join(vals, "doc_id", "left")
+        .groupBy("chunk_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__ord"), F.col("value")))
+            ).alias("__pairs"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+            .cast("int")
+            .alias("__missing"),
+        )
+    )
+    joined = chunk_df.join(per_chunk, "chunk_id", "left")
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in CHUNK_SCHEMA.fields
+    )
+    return joined.mapInArrow(make_append_kernel(name, etype), out_schema)

@@ -941,3 +941,84 @@ def test_pack_sequences_property_matches_reference(spark, data, L):
                 sorted(per_seq_bounds.get(k, [])),
             )
     assert got == want
+
+
+def test_append_extra_column_roundtrip_and_guards(spark):
+    # schema evolution: annotate an already-encoded chunk table with new
+    # typed columns without re-encoding tokens — main sections (and the
+    # crc32 column) byte-stable, decode sees the new column, rewrite is
+    # deterministic, and coverage violations fail typed
+    import hashlib
+
+    from copybook_rs_spark.config import EncodeConfig
+    from copybook_rs_spark.errors import PipelineContractError
+    from copybook_rs_spark.operators import (
+        append_extra_column,
+        decode_tokens,
+        encode_tokens,
+    )
+    from copybook_rs_spark.sources.tokens import synthetic_tokens
+
+    df = synthetic_tokens(spark, "mixed", 200)
+    cfg = EncodeConfig(
+        chunk_values=4096, target_values_per_part=65_536, shuffle_partitions=8
+    )
+    chunks = encode_tokens(df, cfg).cache()
+    vals = df.select(
+        "doc_id", (F.col("n_tok") * 3 + 7).cast("long").alias("q")
+    )
+    appended = append_extra_column(chunks, vals, "q:int64", value_col="q").cache()
+    assert appended.count() == chunks.count()
+    # main-section stability: crc32 (body crc) identical per chunk
+    assert (
+        appended.select("chunk_id", "crc32").exceptAll(
+            chunks.select("chunk_id", "crc32")
+        ).count()
+        == 0
+    )
+    dec = decode_tokens(
+        appended,
+        cfg=EncodeConfig(
+            chunk_values=4096, target_values_per_part=65_536,
+            shuffle_partitions=8, extra_columns=("q",),
+        ),
+    )
+    assert dec.filter(
+        F.expr("size(q) != 1 or q[0] != n_tok * 3 + 7")
+    ).count() == 0
+    assert dec.count() == 200
+    # deterministic across partitionings (invariant 2)
+    again = append_extra_column(
+        chunks.repartition(7), vals, "q:int64", value_col="q"
+    )
+    h = lambda d: sorted(  # noqa: E731
+        (r["chunk_id"], hashlib.sha256(bytes(r["blob"])).hexdigest())
+        for r in d.select("chunk_id", "blob").collect()
+    )
+    assert h(appended) == h(again)
+    # a second, string-typed column stacks on the first append
+    svals = df.select(
+        "doc_id", F.concat(F.lit("s-"), F.col("source")).alias("tag")
+    )
+    both = append_extra_column(appended, svals, "tag:string", value_col="tag")
+    dec2 = decode_tokens(
+        both,
+        cfg=EncodeConfig(
+            chunk_values=4096, target_values_per_part=65_536,
+            shuffle_partitions=8, extra_columns=("q", "tag:string"),
+        ),
+    )
+    assert dec2.filter(
+        (F.col("tag") != F.concat(F.lit("s-"), F.col("source")))
+        | F.expr("q[0] != n_tok * 3 + 7")
+    ).count() == 0
+    # guards: missing docs and duplicate doc_ids fail typed
+    with pytest.raises(Exception) as ei:
+        append_extra_column(
+            chunks, vals.limit(50), "q2:int64", value_col="q"
+        ).count()
+    assert "cover every document" in str(ei.value)
+    with pytest.raises(PipelineContractError, match="duplicate doc_ids"):
+        append_extra_column(
+            chunks, vals.union(vals), "q3:int64", value_col="q"
+        )

@@ -885,3 +885,28 @@ def test_decode_batch_env_validation(monkeypatch):
         monkeypatch.setenv("SPARK_GRAFT_TEST_BATCH", bad)
         with pytest.warns(UserWarning):
             assert _env_int("SPARK_GRAFT_TEST_BATCH", 7) == 7
+
+
+def test_run_decode_resumable_detects_extras_append(spark, tmp_path):
+    # append_extra_column rewrites only the extras tail: chunk_id AND the
+    # body-crc column are unchanged, so the membership fingerprint's
+    # enc_bytes sum is the component that must invalidate committed
+    # shards on resume
+    from copybook_rs_spark.operators import append_extra_column
+    from copybook_rs_spark.operators.decode import run_decode_resumable
+
+    df = synthetic_tokens(spark, "mixed", 150)
+    chunks = encode_tokens(df, CFG).cache()
+    out = str(tmp_path / "dec")
+    run_decode_resumable(chunks, out, n_shards=2)
+    vals = df.select("doc_id", (F.col("n_tok") + 1).cast("long").alias("q"))
+    appended = append_extra_column(chunks, vals, "q:int64", value_col="q").cache()
+    # same chunk_ids, same body crcs — only the tails (and enc_bytes) grew
+    assert (
+        appended.select("chunk_id", "crc32")
+        .exceptAll(chunks.select("chunk_id", "crc32"))
+        .count()
+        == 0
+    )
+    summary = run_decode_resumable(appended, out, n_shards=2)
+    assert summary["shards_skipped"] == 0 and summary["shards_done"] == 2
