@@ -173,7 +173,9 @@ def _q_extras_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = tok.select(
         "doc_id", (F.col("n_tok") * 3 + 7).cast("long").alias("q")
     )
-    appended = append_extra_column(chunks, vals, "q:int64", value_col="q")
+    appended = append_extra_column(
+        chunks, vals, "q:int64", cfg=cfg, value_col="q"
+    )
     dec_cfg = EncodeConfig(
         chunk_values=4096, target_values_per_part=32_768,
         shuffle_partitions=8, extra_columns=("q",),

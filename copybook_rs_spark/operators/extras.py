@@ -15,10 +15,22 @@ values never decompressed), a narrow join with the new values on doc_id,
 and ONE shuffle of the compressed blobs keyed by chunk_id for the tail
 rewrite. Determinism: the appended table is a pure function of the inputs
 (invariant 2) — same chunks + same values => byte-identical new blobs at
-any parallelism.
+any parallelism. That is also why string-typed appends train FSST tables
+PER CHUNK instead of reusing a per-task cache: after the chunk_id join,
+chunk order within a task is scheduler-dependent, so any cross-chunk cache
+would make blob bytes order-dependent (the encode path can cache per group
+only because its chunks are generated group-contiguously).
+
+Schema bookkeeping: appended rows carry the WIDENED config's schema_fp
+(base extra_columns + the new colspec), so `compact_chunks` and
+`merge_manifest_parts` keep their lossless-maintenance guarantees — the
+base cfg no longer matches (typed error instead of silently dropping the
+new column on re-encode) and the widened cfg round-trips everything.
 """
 
 from __future__ import annotations
+
+from dataclasses import replace
 
 from collections.abc import Iterator
 
@@ -29,10 +41,13 @@ from pyspark.sql import DataFrame, functions as F
 from copybook_rs_spark import blob
 from copybook_rs_spark.config import EncodeConfig, decimal_params
 from copybook_rs_spark.errors import CountMismatchError, PipelineContractError
+from copybook_rs_spark.operators.decode import _offsets32
 from copybook_rs_spark.operators.encode import (
     _CHUNK_PA_SCHEMA,
+    _EXTRA_NP_DTYPES,
     _decimal_parts,
     _extra_raw_width,
+    _string_parts,
     CHUNK_SCHEMA,
 )
 
@@ -43,11 +58,14 @@ _SPARK_VALUE_TYPES = {
     "string": "string",
 }
 
-_NP_VALUE_TYPES = {
-    "int64": np.int64,
-    "float32": np.float32,
-    "float64": np.float64,
-}
+
+def widen_config(cfg: EncodeConfig, colspec: str) -> EncodeConfig:
+    """The EncodeConfig describing a table after append_extra_column:
+    same settings, extra_columns + colspec, fingerprint recomputed. Use it
+    for decode_tokens / compact_chunks over the appended table."""
+    return replace(
+        cfg, extra_columns=tuple(cfg.extra_columns) + (colspec,), fingerprint=""
+    )
 
 
 def _doc_map_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -65,8 +83,7 @@ def _doc_map_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
                 blobs[i].as_py(), need_values=False
             )
             n = len(doc_l)
-            offs = np.zeros(n + 1, dtype=np.int32)
-            np.cumsum(doc_l, out=offs[1:])
+            offs = _offsets32(doc_l, n, "doc_id bytes")
             doc_arr = pa.StringArray.from_buffers(
                 n, pa.py_buffer(offs.tobytes()), pa.py_buffer(doc_b)
             )
@@ -89,20 +106,18 @@ def _column_arrays(etype: str, structs: pa.Array):
             "append_extra_column: null value after cast — the values table "
             "must cover every doc_id with a castable value"
         )
-    n = len(vals)
     if etype == "string":
-        enc = [v.as_py().encode("utf-8") for v in vals]
-        lens = np.array([len(x) for x in enc], dtype=np.int64)
-        return lens, np.frombuffer(b"".join(enc), dtype=np.uint8)
-    lens = np.ones(n, dtype=np.int64)
+        return _string_parts(vals)
+    lens = np.ones(len(vals), dtype=np.int64)
     if decimal_params(etype) is not None:
         return lens, _decimal_parts(vals)[1]
-    return lens, vals.to_numpy(zero_copy_only=False).astype(_NP_VALUE_TYPES[etype])
+    return lens, vals.to_numpy(zero_copy_only=False).astype(_EXTRA_NP_DTYPES[etype])
 
 
-def make_append_kernel(name: str, etype: str):
+def make_append_kernel(name: str, etype: str, base_fp: str, widened_fp: str):
     """Arrow kernel: chunk rows + per-chunk sorted values -> chunk rows
-    whose blobs carry the new extras column (main sections untouched)."""
+    whose blobs carry the new extras column (main sections untouched) and
+    whose schema_fp is the widened config's fingerprint."""
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
@@ -110,6 +125,14 @@ def make_append_kernel(name: str, etype: str):
             rows = []
             for i in range(b.num_rows):
                 cid = cols["chunk_id"][i].as_py()
+                fp = cols["schema_fp"][i].as_py()
+                if fp != base_fp:
+                    raise PipelineContractError(
+                        f"append_extra_column[{name}]: chunk {cid!r} has "
+                        f"schema_fp {fp[:12]}… but cfg fingerprints "
+                        f"{base_fp[:12]}… — pass the EncodeConfig the "
+                        "table was written with"
+                    )
                 pairs = cols["__pairs"][i]
                 missing = cols["__missing"][i].as_py()
                 if not pairs.is_valid or (missing is not None and missing):
@@ -122,7 +145,8 @@ def make_append_kernel(name: str, etype: str):
                 if len(pl) != n_rows:
                     raise CountMismatchError(
                         f"append_extra_column[{name}]: {len(pl)} values "
-                        f"for {n_rows} docs in chunk {cid!r}"
+                        f"for {n_rows} docs in chunk {cid!r} — the values "
+                        "table has duplicate doc_ids"
                     )
                 lens, vals = _column_arrays(etype, pl)
                 new_blob = blob.append_extras(
@@ -131,13 +155,15 @@ def make_append_kernel(name: str, etype: str):
                 row = {
                     f.name: cols[f.name][i].as_py()
                     for f in _CHUNK_PA_SCHEMA
-                    if f.name not in ("blob", "enc_bytes", "raw_bytes")
+                    if f.name
+                    not in ("blob", "enc_bytes", "raw_bytes", "schema_fp")
                 }
                 row["blob"] = new_blob
                 row["enc_bytes"] = len(new_blob)
                 row["raw_bytes"] = int(cols["raw_bytes"][i].as_py()) + (
                     _extra_raw_width(etype) * len(vals)
                 )
+                row["schema_fp"] = widened_fp
                 rows.append(row)
             if rows:
                 yield pa.RecordBatch.from_pylist(rows, schema=_CHUNK_PA_SCHEMA)
@@ -149,36 +175,33 @@ def append_extra_column(
     chunk_df: DataFrame,
     values_df: DataFrame,
     colspec: str,
+    cfg: EncodeConfig | None = None,
     value_col: str = "value",
 ) -> DataFrame:
     """Chunk table + per-document values -> chunk table whose blobs carry
     one more typed extras column (see module docstring).
 
     colspec: "name:type" with type one of int64 | float32 | float64 |
-    string | decimal(p,s) (bare name = int64) — validated by the same
-    parser EncodeConfig uses, so decoding the result just needs a cfg
-    whose extra_columns includes the same spec.
-    values_df: (doc_id, <value_col>) with EXACTLY one row per document of
-    the chunk table; duplicate doc_ids, missing documents, or null/
-    uncastable values fail typed (a column with holes needs an explicit
-    sentinel chosen by the caller, never an implicit one chosen by the
-    engine)."""
-    cfg = EncodeConfig(extra_columns=(colspec,))  # validation + parsing
-    ((name, etype),) = cfg.extra_specs()
+    string | decimal(p,s) (bare name = int64).
+    cfg: the EncodeConfig the table was written with (default base
+    config); the chunk rows' schema_fp must match it (typed error
+    otherwise), and the result carries `widen_config(cfg, colspec)`'s
+    fingerprint — decode/compact the appended table with that config.
+    values_df: (doc_id, <value_col>). Every document of the chunk table
+    must be covered exactly once with a castable non-null value —
+    missing documents and duplicate doc_ids fail typed at execution.
+    Values for doc_ids NOT in the chunk table are ignored (annotating a
+    table partition from a corpus-wide values catalog is the common
+    case at scale)."""
+    cfg = cfg or EncodeConfig()
+    widened = widen_config(cfg, colspec)  # validates the colspec too
+    ((name, etype),) = widened.extra_specs()[len(cfg.extra_specs()):]
     dp = decimal_params(etype)
     sql_t = f"decimal({dp[0]},{dp[1]})" if dp else _SPARK_VALUE_TYPES[etype]
     vals = values_df.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.col(value_col).cast(sql_t).alias("value"),
     )
-    dup = (
-        vals.groupBy("doc_id").count().filter(F.col("count") > 1).limit(1).count()
-    )
-    if dup:
-        raise PipelineContractError(
-            "append_extra_column: values table has duplicate doc_ids — "
-            "one value per document is required"
-        )
     doc_map = chunk_df.select("chunk_id", "blob").mapInArrow(
         _doc_map_kernel, "chunk_id string, doc_id string, __ord int"
     )
@@ -198,4 +221,7 @@ def append_extra_column(
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in CHUNK_SCHEMA.fields
     )
-    return joined.mapInArrow(make_append_kernel(name, etype), out_schema)
+    return joined.mapInArrow(
+        make_append_kernel(name, etype, cfg.fingerprint, widened.fingerprint),
+        out_schema,
+    )

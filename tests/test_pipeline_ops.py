@@ -996,29 +996,56 @@ def test_append_extra_column_roundtrip_and_guards(spark):
         for r in d.select("chunk_id", "blob").collect()
     )
     assert h(appended) == h(again)
-    # a second, string-typed column stacks on the first append
+    # a second, string-typed column stacks on the first append: the
+    # appended table carries the WIDENED schema_fp, so the stacked call
+    # must receive the widened cfg (the base cfg fails typed below)
+    from copybook_rs_spark.operators import widen_config
+
+    q_cfg = widen_config(cfg, "q")
     svals = df.select(
         "doc_id", F.concat(F.lit("s-"), F.col("source")).alias("tag")
     )
-    both = append_extra_column(appended, svals, "tag:string", value_col="tag")
-    dec2 = decode_tokens(
-        both,
-        cfg=EncodeConfig(
-            chunk_values=4096, target_values_per_part=65_536,
-            shuffle_partitions=8, extra_columns=("q", "tag:string"),
-        ),
+    both = append_extra_column(
+        appended, svals, "tag:string", cfg=q_cfg, value_col="tag"
     )
+    dec2 = decode_tokens(both, cfg=widen_config(q_cfg, "tag:string"))
     assert dec2.filter(
         (F.col("tag") != F.concat(F.lit("s-"), F.col("source")))
         | F.expr("q[0] != n_tok * 3 + 7")
     ).count() == 0
-    # guards: missing docs and duplicate doc_ids fail typed
+    # schema_fp bookkeeping: the base cfg no longer matches the appended
+    # table - appending with it (or compacting, which shares the guard)
+    # must fail typed instead of silently dropping the new column
+    with pytest.raises(Exception) as ei0:
+        append_extra_column(
+            appended, svals, "t2:string", value_col="tag"
+        ).count()
+    assert "schema_fp" in str(ei0.value)
+    from copybook_rs_spark.operators import compact_chunks
+
+    with pytest.raises(PipelineContractError, match="schema_fp"):
+        compact_chunks(appended, cfg)
+    # and compaction WITH the widened cfg round-trips the appended column
+    compacted = compact_chunks(appended, q_cfg)
+    dec3 = decode_tokens(compacted, cfg=q_cfg)
+    assert dec3.filter(F.expr("q[0] != n_tok * 3 + 7")).count() == 0
+    # guards: missing docs and duplicate doc_ids fail typed at execution
     with pytest.raises(Exception) as ei:
         append_extra_column(
             chunks, vals.limit(50), "q2:int64", value_col="q"
         ).count()
     assert "cover every document" in str(ei.value)
-    with pytest.raises(PipelineContractError, match="duplicate doc_ids"):
+    with pytest.raises(Exception) as ei2:
         append_extra_column(
             chunks, vals.union(vals), "q3:int64", value_col="q"
-        )
+        ).count()
+    assert "duplicate doc_ids" in str(ei2.value)
+    # superset values are legal: a corpus-wide catalog annotates a subset
+    # table without complaint
+    extra_rows = spark.createDataFrame(
+        [("zz-not-in-table", 1)], "doc_id string, q long"
+    )
+    sup = append_extra_column(
+        chunks, vals.union(extra_rows), "q4:int64", value_col="q"
+    )
+    assert sup.count() == chunks.count()
