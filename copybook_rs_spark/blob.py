@@ -885,6 +885,42 @@ def append_extras(
     return bytes(buf[:end]) + sec
 
 
+def drop_extras(
+    blob_bytes: bytes | memoryview,
+    names: "set[str]",
+) -> bytes:
+    """Remove extras columns from a chunk blob (inverse of append_extras;
+    same main-section/body-crc stability). Raises typed errors when a
+    requested name is absent. Dropping every column removes the tail
+    entirely (byte-identical to a never-extras blob)."""
+    buf = memoryview(blob_bytes)
+    if len(buf) < HEADER_LEN:
+        raise TruncatedBlobError("blob shorter than header")
+    magic, version, _, n_rows, _, _, sd, sl, sv, _, _ = _HEADER.unpack_from(buf)
+    if magic != MAGIC:
+        raise BadMagicError(f"bad magic {magic!r}")
+    if version != VERSION:
+        raise HeaderInvalidError(f"unsupported version {version}")
+    end = HEADER_LEN + sd + sl + sv
+    if len(buf) < end:
+        raise TruncatedBlobError("blob truncated before extras")
+    existing = decode_extras(buf, n_rows)
+    missing = set(names) - set(existing)
+    if missing:
+        raise HeaderInvalidError(
+            f"extras columns not in blob: {sorted(missing)}"
+        )
+    kept = [
+        (n, et, el, ev)
+        for n, (et, el, ev) in existing.items()
+        if n not in names
+    ]
+    if not kept:
+        return bytes(buf[:end])
+    sec, _ = _encode_extras(kept, None)
+    return bytes(buf[:end]) + sec
+
+
 def decode_extras(
     blob_bytes: bytes | memoryview,
     n_rows: int,

@@ -2,7 +2,12 @@
 mapInArrow pipelines with zero per-row Python (SURVEY.md §2.10)."""
 
 from copybook_rs_spark.operators.encode import compact_chunks, encode_tokens, prepare_grouped  # noqa: F401
-from copybook_rs_spark.operators.extras import append_extra_column, widen_config  # noqa: F401
+from copybook_rs_spark.operators.extras import (  # noqa: F401
+    append_extra_column,
+    drop_extra_column,
+    narrow_config,
+    widen_config,
+)
 from copybook_rs_spark.operators.decode import (  # noqa: F401
     decode_tokens,
     read_decoded,

@@ -171,6 +171,78 @@ def make_append_kernel(name: str, etype: str, base_fp: str, widened_fp: str):
     return kernel
 
 
+def narrow_config(cfg: EncodeConfig, name: str) -> EncodeConfig:
+    """The EncodeConfig describing a table after drop_extra_column: same
+    settings, extra_columns minus `name`, fingerprint recomputed."""
+    specs = cfg.extra_specs()
+    if name not in {n for n, _ in specs}:
+        raise ValueError(f"drop_extra_column: {name!r} not in cfg extras")
+    kept = tuple(
+        c
+        for c, (n, _t) in zip(cfg.extra_columns, specs)
+        if n != name
+    )
+    return replace(cfg, extra_columns=kept, fingerprint="")
+
+
+def drop_extra_column(
+    chunk_df: DataFrame,
+    name: str,
+    cfg: EncodeConfig,
+) -> DataFrame:
+    """Inverse of append_extra_column: remove one typed extras column from
+    every blob. A pure per-chunk map — no joins, no shuffle beyond the
+    scan; main sections and body crc stay byte-stable
+    (blob.drop_extras). cfg is the config the table currently decodes
+    with (schema_fp validated per row, typed error on mismatch); the
+    result carries narrow_config(cfg, name)'s fingerprint. raw_bytes
+    drops by the removed column's native footprint; enc_bytes tracks the
+    new blob length."""
+    narrowed = narrow_config(cfg, name)
+    etype = dict(cfg.extra_specs())[name]
+    base_fp, narrow_fp = cfg.fingerprint, narrowed.fingerprint
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in CHUNK_SCHEMA.fields
+    )
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            cols = {c: b.column(c) for c in b.schema.names}
+            rows = []
+            for i in range(b.num_rows):
+                cid = cols["chunk_id"][i].as_py()
+                fp = cols["schema_fp"][i].as_py()
+                if fp != base_fp:
+                    raise PipelineContractError(
+                        f"drop_extra_column[{name}]: chunk {cid!r} has "
+                        f"schema_fp {fp[:12]}… but cfg fingerprints "
+                        f"{base_fp[:12]}… — pass the EncodeConfig the "
+                        "table currently decodes with"
+                    )
+                raw = cols["blob"][i].as_py()
+                n_rows = int(cols["n_rows"][i].as_py())
+                dropped = blob.decode_extras(raw, n_rows, names={name})
+                n_elems = len(dropped[name][2]) if name in dropped else 0
+                new_blob = blob.drop_extras(raw, {name})
+                row = {
+                    f.name: cols[f.name][i].as_py()
+                    for f in _CHUNK_PA_SCHEMA
+                    if f.name
+                    not in ("blob", "enc_bytes", "raw_bytes", "schema_fp")
+                }
+                row["blob"] = new_blob
+                row["enc_bytes"] = len(new_blob)
+                row["raw_bytes"] = int(cols["raw_bytes"][i].as_py()) - (
+                    _extra_raw_width(etype) * n_elems
+                )
+                row["schema_fp"] = narrow_fp
+                rows.append(row)
+            if rows:
+                yield pa.RecordBatch.from_pylist(rows, schema=_CHUNK_PA_SCHEMA)
+
+    return chunk_df.mapInArrow(kernel, out_schema)
+
+
 def append_extra_column(
     chunk_df: DataFrame,
     values_df: DataFrame,

@@ -1049,3 +1049,70 @@ def test_append_extra_column_roundtrip_and_guards(spark):
         chunks, vals.union(extra_rows), "q4:int64", value_col="q"
     )
     assert sup.count() == chunks.count()
+
+
+def test_drop_extra_column_inverse_of_append(spark):
+    # schema evolution both ways: append then drop restores the ORIGINAL
+    # blobs byte-identically (a never-extras blob has no tail at all), and
+    # dropping one of two columns keeps the other decode-equal
+    import hashlib
+
+    from copybook_rs_spark.config import EncodeConfig
+    from copybook_rs_spark.errors import PipelineContractError
+    from copybook_rs_spark.operators import (
+        append_extra_column,
+        decode_tokens,
+        drop_extra_column,
+        encode_tokens,
+        narrow_config,
+        widen_config,
+    )
+    from copybook_rs_spark.sources.tokens import synthetic_tokens
+
+    df = synthetic_tokens(spark, "mixed", 150)
+    cfg = EncodeConfig(
+        chunk_values=4096, target_values_per_part=65_536, shuffle_partitions=8
+    )
+    chunks = encode_tokens(df, cfg).cache()
+    vals = df.select("doc_id", (F.col("n_tok") + 11).cast("long").alias("q"))
+    q_cfg = widen_config(cfg, "q")
+    appended = append_extra_column(
+        chunks, vals, "q", cfg=cfg, value_col="q"
+    ).cache()
+    restored = drop_extra_column(appended, "q", q_cfg)
+
+    def blob_hashes(d):
+        return sorted(
+            (r["chunk_id"], hashlib.sha256(bytes(r["blob"])).hexdigest())
+            for r in d.select("chunk_id", "blob").collect()
+        )
+
+    assert blob_hashes(restored) == blob_hashes(chunks)
+    # schema_fp restored too, so base-cfg maintenance works again
+    assert (
+        restored.select("chunk_id", "schema_fp", "raw_bytes", "enc_bytes")
+        .exceptAll(
+            chunks.select("chunk_id", "schema_fp", "raw_bytes", "enc_bytes")
+        )
+        .count()
+        == 0
+    )
+    # two columns: dropping one keeps the other decode-equal
+    svals = df.select("doc_id", F.col("source").alias("tag"))
+    both = append_extra_column(
+        appended, svals, "tag:string", cfg=q_cfg, value_col="tag"
+    )
+    only_tag = drop_extra_column(
+        both, "q", widen_config(q_cfg, "tag:string")
+    )
+    dec = decode_tokens(
+        only_tag, cfg=widen_config(cfg, "tag:string")
+    )
+    assert dec.filter(F.col("tag") != F.col("source")).count() == 0
+    # guards: wrong cfg fp and unknown column fail typed
+    wrong_cfg = widen_config(widen_config(cfg, "other"), "q")
+    with pytest.raises(Exception) as ei:
+        drop_extra_column(appended, "q", wrong_cfg).count()  # fp mismatch
+    assert "schema_fp" in str(ei.value)
+    with pytest.raises(ValueError, match="not in cfg extras"):
+        drop_extra_column(appended, "nope", q_cfg)
