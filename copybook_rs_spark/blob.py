@@ -888,11 +888,18 @@ def append_extras(
 def drop_extras(
     blob_bytes: bytes | memoryview,
     names: "set[str]",
-) -> bytes:
+) -> "tuple[bytes, dict[str, tuple[str, np.ndarray, np.ndarray]]]":
     """Remove extras columns from a chunk blob (inverse of append_extras;
-    same main-section/body-crc stability). Raises typed errors when a
-    requested name is absent. Dropping every column removes the tail
-    entirely (byte-identical to a never-extras blob)."""
+    same main-section/body-crc stability) -> (new blob, dropped columns as
+    {name: (etype, lens, vals)} — callers needing element counts read them
+    from the return instead of decompressing the column a second time).
+    Raises typed errors when a requested name is absent. Dropping every
+    column removes the tail entirely (byte-identical to a never-extras
+    blob). Surviving columns are re-encoded per chunk: byte-identical to
+    their pre-drop tail bytes for int/float/decimal columns; for STRING
+    columns re-encoding is decode-equal but only byte-equal when the
+    original tail was also per-chunk-trained (a cross-chunk FSST cache at
+    original encode time can differ)."""
     buf = memoryview(blob_bytes)
     if len(buf) < HEADER_LEN:
         raise TruncatedBlobError("blob shorter than header")
@@ -915,10 +922,11 @@ def drop_extras(
         for n, (et, el, ev) in existing.items()
         if n not in names
     ]
+    dropped = {n: v for n, v in existing.items() if n in names}
     if not kept:
-        return bytes(buf[:end])
+        return bytes(buf[:end]), dropped
     sec, _ = _encode_extras(kept, None)
-    return bytes(buf[:end]) + sec
+    return bytes(buf[:end]) + sec, dropped
 
 
 def decode_extras(

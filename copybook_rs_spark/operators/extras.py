@@ -125,14 +125,10 @@ def make_append_kernel(name: str, etype: str, base_fp: str, widened_fp: str):
             rows = []
             for i in range(b.num_rows):
                 cid = cols["chunk_id"][i].as_py()
-                fp = cols["schema_fp"][i].as_py()
-                if fp != base_fp:
-                    raise PipelineContractError(
-                        f"append_extra_column[{name}]: chunk {cid!r} has "
-                        f"schema_fp {fp[:12]}… but cfg fingerprints "
-                        f"{base_fp[:12]}… — pass the EncodeConfig the "
-                        "table was written with"
-                    )
+                _check_schema_fp(
+                    "append_extra_column", name, cid,
+                    cols["schema_fp"][i].as_py(), base_fp,
+                )
                 pairs = cols["__pairs"][i]
                 missing = cols["__missing"][i].as_py()
                 if not pairs.is_valid or (missing is not None and missing):
@@ -152,23 +148,42 @@ def make_append_kernel(name: str, etype: str, base_fp: str, widened_fp: str):
                 new_blob = blob.append_extras(
                     cols["blob"][i].as_py(), [(name, etype, lens, vals)]
                 )
-                row = {
-                    f.name: cols[f.name][i].as_py()
-                    for f in _CHUNK_PA_SCHEMA
-                    if f.name
-                    not in ("blob", "enc_bytes", "raw_bytes", "schema_fp")
-                }
-                row["blob"] = new_blob
-                row["enc_bytes"] = len(new_blob)
-                row["raw_bytes"] = int(cols["raw_bytes"][i].as_py()) + (
-                    _extra_raw_width(etype) * len(vals)
+                rows.append(
+                    _rebuilt_row(
+                        cols, i, new_blob,
+                        _extra_raw_width(etype) * len(vals), widened_fp,
+                    )
                 )
-                row["schema_fp"] = widened_fp
-                rows.append(row)
             if rows:
                 yield pa.RecordBatch.from_pylist(rows, schema=_CHUNK_PA_SCHEMA)
 
     return kernel
+
+
+def _check_schema_fp(op: str, name: str, cid: str, fp: str, want: str) -> None:
+    """Shared per-row fingerprint guard for the evolution kernels."""
+    if fp != want:
+        raise PipelineContractError(
+            f"{op}[{name}]: chunk {cid!r} has schema_fp {fp[:12]}… but cfg "
+            f"fingerprints {want[:12]}… — pass the EncodeConfig the table "
+            "currently decodes with"
+        )
+
+
+def _rebuilt_row(cols, i, new_blob: bytes, raw_delta: int, new_fp: str) -> dict:
+    """Chunk row with a rewritten blob: everything passes through except
+    the blob itself, its byte accounting, and the schema fingerprint —
+    one definition shared by the append and drop kernels."""
+    row = {
+        f.name: cols[f.name][i].as_py()
+        for f in _CHUNK_PA_SCHEMA
+        if f.name not in ("blob", "enc_bytes", "raw_bytes", "schema_fp")
+    }
+    row["blob"] = new_blob
+    row["enc_bytes"] = len(new_blob)
+    row["raw_bytes"] = int(cols["raw_bytes"][i].as_py()) + raw_delta
+    row["schema_fp"] = new_fp
+    return row
 
 
 def narrow_config(cfg: EncodeConfig, name: str) -> EncodeConfig:
@@ -197,7 +212,10 @@ def drop_extra_column(
     with (schema_fp validated per row, typed error on mismatch); the
     result carries narrow_config(cfg, name)'s fingerprint. raw_bytes
     drops by the removed column's native footprint; enc_bytes tracks the
-    new blob length."""
+    new blob length. Append-then-drop restores the pre-append blob bytes
+    exactly, EXCEPT when surviving STRING columns were originally written
+    with a cross-chunk FSST cache (see blob.drop_extras) — then the
+    restored table is decode-equal with per-chunk-trained tails."""
     narrowed = narrow_config(cfg, name)
     etype = dict(cfg.extra_specs())[name]
     base_fp, narrow_fp = cfg.fingerprint, narrowed.fingerprint
@@ -211,32 +229,20 @@ def drop_extra_column(
             rows = []
             for i in range(b.num_rows):
                 cid = cols["chunk_id"][i].as_py()
-                fp = cols["schema_fp"][i].as_py()
-                if fp != base_fp:
-                    raise PipelineContractError(
-                        f"drop_extra_column[{name}]: chunk {cid!r} has "
-                        f"schema_fp {fp[:12]}… but cfg fingerprints "
-                        f"{base_fp[:12]}… — pass the EncodeConfig the "
-                        "table currently decodes with"
-                    )
-                raw = cols["blob"][i].as_py()
-                n_rows = int(cols["n_rows"][i].as_py())
-                dropped = blob.decode_extras(raw, n_rows, names={name})
-                n_elems = len(dropped[name][2]) if name in dropped else 0
-                new_blob = blob.drop_extras(raw, {name})
-                row = {
-                    f.name: cols[f.name][i].as_py()
-                    for f in _CHUNK_PA_SCHEMA
-                    if f.name
-                    not in ("blob", "enc_bytes", "raw_bytes", "schema_fp")
-                }
-                row["blob"] = new_blob
-                row["enc_bytes"] = len(new_blob)
-                row["raw_bytes"] = int(cols["raw_bytes"][i].as_py()) - (
-                    _extra_raw_width(etype) * n_elems
+                _check_schema_fp(
+                    "drop_extra_column", name, cid,
+                    cols["schema_fp"][i].as_py(), base_fp,
                 )
-                row["schema_fp"] = narrow_fp
-                rows.append(row)
+                new_blob, dropped = blob.drop_extras(
+                    cols["blob"][i].as_py(), {name}
+                )
+                n_elems = len(dropped[name][2])
+                rows.append(
+                    _rebuilt_row(
+                        cols, i, new_blob,
+                        -(_extra_raw_width(etype) * n_elems), narrow_fp,
+                    )
+                )
             if rows:
                 yield pa.RecordBatch.from_pylist(rows, schema=_CHUNK_PA_SCHEMA)
 

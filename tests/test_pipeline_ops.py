@@ -1097,11 +1097,18 @@ def test_drop_extra_column_inverse_of_append(spark):
         .count()
         == 0
     )
-    # two columns: dropping one keeps the other decode-equal
+    # two columns: dropping one keeps the other decode-equal — and for a
+    # SURVIVING non-string column the re-encoded tail is byte-identical
+    # to the pre-second-append state (non-trivial inverse: the tail is
+    # rebuilt, not truncated; guards against re-encode drift in
+    # drop_extras' kept-column path)
     svals = df.select("doc_id", F.col("source").alias("tag"))
     both = append_extra_column(
         appended, svals, "tag:string", cfg=q_cfg, value_col="tag"
-    )
+    ).cache()
+    assert blob_hashes(
+        drop_extra_column(both, "tag", widen_config(q_cfg, "tag:string"))
+    ) == blob_hashes(appended)
     only_tag = drop_extra_column(
         both, "q", widen_config(q_cfg, "tag:string")
     )
