@@ -188,6 +188,47 @@ def _q_extras_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extras_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Full schema-evolution cycle under the oracle: append TWO typed
+    # columns to an encoded table (int64 + string), DROP the first, and
+    # decode with the survivor — the oracle recomputes the surviving
+    # column directly, so a drop that corrupts the kept tail, a lost doc,
+    # or a misaligned value breaks the sums.
+    from copybook_rs_spark.operators import (
+        append_extra_column,
+        decode_tokens,
+        drop_extra_column,
+        widen_config,
+    )
+
+    tok = token_table(spark, sf_dir)
+    cfg = EncodeConfig(
+        chunk_values=4096, target_values_per_part=32_768, shuffle_partitions=8
+    )
+    chunks = encode_tokens(tok, cfg)
+    q_vals = tok.select(
+        "doc_id", (F.col("n_tok") * 5 + 3).cast("long").alias("v")
+    )
+    tag_vals = tok.select(
+        "doc_id",
+        F.concat(F.lit("t"), F.pmod(F.col("n_tok"), F.lit(10))).alias("v"),
+    )
+    with_q = append_extra_column(chunks, q_vals, "q", cfg=cfg, value_col="v")
+    q_cfg = widen_config(cfg, "q")
+    with_both = append_extra_column(
+        with_q, tag_vals, "tag:string", cfg=q_cfg, value_col="v"
+    )
+    survivor = drop_extra_column(
+        with_both, "q", widen_config(q_cfg, "tag:string")
+    )
+    dec = decode_tokens(survivor, cfg=widen_config(cfg, "tag:string"))
+    return dec.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_values"),
+        F.sum(F.length("tag")).cast("bigint").alias("tag_len_sum"),
+    )
+
+
 def _q_manifest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A1 RunSummary analogue: manifest totals must equal input totals.
     tok = token_table(spark, sf_dir)
@@ -778,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verify_roundtrip": _q_verify_roundtrip,
         "resumable_roundtrip": _q_resumable_roundtrip,
         "extras_append": _q_extras_append,
+        "extras_evolution": _q_extras_evolution,
         "manifest_agg": _q_manifest_agg,
         "topk_sources": _q_topk_sources,
         "token_histogram": _q_token_histogram,
@@ -1049,6 +1091,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(n_tok) AS BIGINT) AS n_values,
                    CAST(sum(n_tok * 3 + 7) AS BIGINT) AS q_sum
+            FROM {_TOK}
+            GROUP BY source
+        """,
+        "extras_evolution": f"""
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_values,
+                   CAST(sum(length('t' || CAST(n_tok % 10 AS VARCHAR)))
+                        AS BIGINT) AS tag_len_sum
             FROM {_TOK}
             GROUP BY source
         """,
