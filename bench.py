@@ -98,7 +98,11 @@ def main() -> None:
 
         # training-sequence packing over the decoded-equivalent token table
         # (L=2048, distributed prefix sum + slice shuffle) — tracked so the
-        # packing stack has a per-round number like encode/decode
+        # packing stack has a per-round number like encode/decode. Same
+        # warmup discipline as encode above: the first pack in a JVM pays
+        # ~5 s of one-time codegen/stage setup that is process setup, not
+        # engine work (measured: cold 8.1 s vs warm 3.4 s on an idle box)
+        pack_sequences(tok.limit(2000), 2048).count()
         t = time.perf_counter()
         packed_tokens = (
             pack_sequences(tok, 2048).agg(F.sum("n_tokens")).collect()[0][0]
