@@ -620,8 +620,10 @@ def _decode_values(
         raise CountMismatchError("doc-aware values: firsts count mismatch")
     if len(intra_zz) != n_values - k:
         raise CountMismatchError("doc-aware values: intra count mismatch")
-    is_start = np.zeros(n_values, dtype=bool)
-    is_start[ne_starts] = True
+    # single mask, already negated: both lanes only ever scatter into the
+    # NON-start positions (saves a second n-sized bool array + negation)
+    nonstart = np.ones(n_values, dtype=bool)
+    nonstart[ne_starts] = False
     if cert32 and (
         intra32 is not None
         or len(intra_zz) == 0
@@ -637,7 +639,7 @@ def _decode_values(
                 intra_zz if intra_zz.dtype == np.uint32
                 else intra_zz.astype(np.uint32)
             )
-            d32[~is_start] = (zz32 >> np.uint32(1)) ^ -(zz32 & np.uint32(1))
+            d32[nonstart] = (zz32 >> np.uint32(1)) ^ -(zz32 & np.uint32(1))
         return _telescoped_rebase(
             d32, firsts.astype(np.uint32), ne_starts, k
         ).view(np.int32)
@@ -645,7 +647,7 @@ def _decode_values(
         np.ascontiguousarray(intra_zz, dtype=np.int64).view(np.uint64)
     )
     d = np.zeros(n_values, dtype=np.uint64)
-    d[~is_start] = intra.view(np.uint64)
+    d[nonstart] = intra.view(np.uint64)
     return _telescoped_rebase(d, firsts.view(np.uint64), ne_starts, k).view(
         np.int64
     )
