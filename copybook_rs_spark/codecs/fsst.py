@@ -65,32 +65,43 @@ class SymbolTable:
         self.single_code = single_code
         by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         prefix2 = np.zeros(65536, dtype=bool)
-        # exact-code table for length-2 symbols (single gather, no search)
-        # and a per-prefix length bitmap: bit (L-3) set when some length-L
-        # symbol starts with that 2-byte prefix — _match gates each
-        # length's binary search to just the positions whose prefix can
-        # open a symbol of that length (round-5 profile: the ungated
-        # searchsorted over every candidate x 7 lengths was ~75% of
-        # compress; the round-2 "prefix gate didn't help" experiment gated
-        # only the WHOLE candidate set, not per length)
-        tab16 = np.full(65536, -1, dtype=np.int16)
-        lenbits16 = np.zeros(65536, dtype=np.uint8)
         for length in range(2, MAX_SYM_LEN + 1):
             codes = np.flatnonzero(self.sym_len == length)
             vals = self.sym_val[codes] & _len_mask(length)
             order = np.argsort(vals, kind="stable")
             by_len[length] = (vals[order], codes[order].astype(np.int64))
-            p = (vals & np.uint64(0xFFFF)).astype(np.int64)
-            prefix2[p] = True
+            prefix2[(vals & np.uint64(0xFFFF)).astype(np.int64)] = True
+        self.by_len = by_len
+        self.prefix2 = prefix2
+        # compress-only match-gating tables (~200 KB) built LAZILY on the
+        # first _match call: the decode path deserializes up to 8 stacked
+        # tables per byte-stream section and never matches (round-5 review)
+        self.tab16 = None
+        self.lenbits16 = None
+        self.has_multi = bool(prefix2.any())
+
+    def _ensure_match_tables(self) -> None:
+        """Exact-code table for length-2 symbols (single gather, no
+        search) and a per-prefix length bitmap: bit (L-3) set when some
+        length-L symbol starts with that 2-byte prefix — _match gates each
+        length's binary search to just the positions whose prefix can open
+        a symbol of that length (round-5 profile: the ungated searchsorted
+        over every candidate x 7 lengths was ~75% of compress; the round-2
+        "prefix gate didn't help" experiment gated only the WHOLE
+        candidate set, not per length)."""
+        if self.tab16 is not None:
+            return
+        tab16 = np.full(65536, -1, dtype=np.int16)
+        lenbits16 = np.zeros(65536, dtype=np.uint8)
+        for length in range(2, MAX_SYM_LEN + 1):
+            vals, codes = self.by_len[length]
             if length == 2:
                 tab16[vals.astype(np.int64)] = codes.astype(np.int16)
             else:
+                p = (vals & np.uint64(0xFFFF)).astype(np.int64)
                 lenbits16[p] |= np.uint8(1 << (length - 3))
-        self.by_len = by_len
-        self.prefix2 = prefix2
         self.tab16 = tab16
         self.lenbits16 = lenbits16
-        self.has_multi = bool(prefix2.any())
 
     def serialize(self) -> bytes:
         """255 length bytes + concatenated symbol bytes (codes 0..254)."""
@@ -154,6 +165,7 @@ def _match(data: np.ndarray, table: SymbolTable, w: np.ndarray | None = None):
     mlen = np.ones(n, dtype=np.int64)
     mcode = table.single_code[data].astype(np.int64)
     if table.has_multi:
+        table._ensure_match_tables()
         # only positions whose 2-byte prefix opens some symbol can match
         cand = np.flatnonzero(
             table.prefix2[(w & np.uint64(0xFFFF)).astype(np.int64)]

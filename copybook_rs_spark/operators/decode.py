@@ -714,11 +714,12 @@ def run_decode_resumable(
     - A shard commits by writing to a hidden .staging- dir (Spark job
       commit) and then a single atomic rename, WITH a sidecar
       (_shard_errors.json) recording its error count AND its chunk
-      membership fingerprint (count + chunk_id hash sum + blob CONTENT
-      crc sum + enc_bytes sum — chunk_id is positional, so an in-place
-      rewrite with the same id must still invalidate the shard, and the
-      length sum catches extras-tail rewrites like append_extra_column
-      that the body crc is blind to by design). On resume, a committed
+      membership fingerprint (count + chunk_id hash sum + FULL-blob crc
+      sum — chunk_id is positional, so an in-place rewrite with the same
+      id must still invalidate the shard, and the crc covers every blob
+      byte so extras-tail rewrites like append/drop_extra_column are
+      caught even when they preserve the body crc and the encoded
+      length). On resume, a committed
       shard whose membership no longer matches the current chunk table —
       chunks repaired by deletion, rewritten in place, or new arrivals —
       is invalidated and re-decoded, so resume always CONVERGES to the
@@ -775,18 +776,17 @@ def run_decode_resumable(
 
     shard_col = F.pmod(F.xxhash64("source", "part_id"), F.lit(n_shards))
     # current per-shard membership fingerprints: count + order-independent
-    # chunk_id hash sum + CONTENT crc sum + blob length sum (one cheap agg
-    # over pruned columns). chunk_id is positional, not content-derived,
-    # so a chunk rewritten in place with the same id but different bytes
-    # must still invalidate its committed shard (ADVICE r4 #2) — the
-    # table's crc32 column is the blob-BODY content hash, so its sum
-    # changes with any main-section rewrite; the enc_bytes sum catches
-    # extras-tail rewrites (append_extra_column), which the body crc is
-    # blind to by design.
+    # chunk_id hash sum + FULL-blob crc sum. chunk_id is positional, not
+    # content-derived, so a chunk rewritten in place with the same id must
+    # still invalidate its committed shard (ADVICE r4 #2) — and the crc
+    # must cover the WHOLE blob, not the body-crc column: an extras-tail
+    # rewrite (drop+re-append with equal-width values) can preserve the
+    # body crc AND enc_bytes (review-verified), so only a crc over every
+    # byte closes the hole. Cost model: this agg scans the compressed blob
+    # column once — the same unit the n_shards shard-filter passes already
+    # re-scan, so it adds ~1/n_shards of the stated resume overhead.
     cur_fp = {
-        int(r["__shard"]): (
-            int(r["n"]), int(r["fp"]), int(r["crc_fp"]), int(r["len_fp"])
-        )
+        int(r["__shard"]): (int(r["n"]), int(r["fp"]), int(r["blob_fp"]))
         for r in chunk_df.withColumn("__shard", shard_col)
         .groupBy("__shard")
         .agg(
@@ -794,10 +794,9 @@ def run_decode_resumable(
             F.coalesce(
                 F.sum(F.crc32(F.col("chunk_id").cast("binary"))), F.lit(0)
             ).alias("fp"),
-            F.coalesce(F.sum(F.col("crc32")), F.lit(0)).alias("crc_fp"),
-            # enc_bytes, not length(blob): keeps the fingerprint agg a
-            # narrow-column scan (append_extra_column maintains enc_bytes)
-            F.coalesce(F.sum(F.col("enc_bytes")), F.lit(0)).alias("len_fp"),
+            F.coalesce(F.sum(F.crc32(F.col("blob"))), F.lit(0)).alias(
+                "blob_fp"
+            ),
         )
         .collect()
     }
@@ -899,14 +898,13 @@ def run_decode_resumable(
                 side = _json.loads(_fs_read_small(spark, fs, errs_p))
             except Exception:
                 side = None
-        want = cur_fp.get(sid, (0, 0, 0, 0))
+        want = cur_fp.get(sid, (0, 0, 0))
         if (
             side is None
             or (
                 int(side.get("n_chunks", -1)),
                 int(side.get("fp", -1)),
-                int(side.get("crc_fp", -1)),
-                int(side.get("len_fp", -1)),
+                int(side.get("blob_fp", -1)),
             )
             != want
         ):
@@ -961,7 +959,7 @@ def run_decode_resumable(
                 f"{s} ({total} corrupt chunks cumulative); the shard was "
                 "NOT committed — fix the table and resume"
             )
-        n_s, fp_s, crc_s, len_s = cur_fp.get(s, (0, 0, 0, 0))
+        n_s, fp_s, blob_s = cur_fp.get(s, (0, 0, 0))
         _fs_write_small(
             spark, fs,
             jpath(os.path.join(staging, _SHARD_ERRORS)),
@@ -970,8 +968,7 @@ def run_decode_resumable(
                     "n_errors": shard_errors,
                     "n_chunks": n_s,
                     "fp": fp_s,
-                    "crc_fp": crc_s,
-                    "len_fp": len_s,
+                    "blob_fp": blob_s,
                 }
             ),
         )

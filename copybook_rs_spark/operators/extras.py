@@ -79,8 +79,10 @@ def _doc_map_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
         cids = b.column("chunk_id")
         blobs = b.column("blob")
         for i in range(b.num_rows):
+            # zero-copy blob access (Arrow buffer, not a bytes copy) and a
+            # natively repeated chunk_id scalar — no per-doc Python objects
             doc_b, doc_l, _lens, _ = blob.decode_chunk(
-                blobs[i].as_py(), need_values=False
+                memoryview(blobs[i].as_buffer()), need_values=False
             )
             n = len(doc_l)
             offs = _offsets32(doc_l, n, "doc_id bytes")
@@ -89,7 +91,7 @@ def _doc_map_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
             )
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array([cids[i].as_py()] * n, type=pa.string()),
+                    pa.repeat(cids[i], n),
                     doc_arr,
                     pa.array(np.arange(n, dtype=np.int32)),
                 ],
@@ -131,10 +133,18 @@ def make_append_kernel(name: str, etype: str, base_fp: str, widened_fp: str):
                 )
                 pairs = cols["__pairs"][i]
                 missing = cols["__missing"][i].as_py()
+                badcast = cols["__badcast"][i].as_py()
+                if badcast:
+                    raise PipelineContractError(
+                        f"append_extra_column[{name}]: {badcast} value(s) "
+                        f"in chunk {cid!r} are present but not castable "
+                        f"to {etype}"
+                    )
                 if not pairs.is_valid or (missing is not None and missing):
                     raise PipelineContractError(
                         f"append_extra_column[{name}]: values table does "
-                        f"not cover every document of chunk {cid!r}"
+                        f"not cover every document of chunk {cid!r} with "
+                        "a non-null value"
                     )
                 pl = pairs.values
                 n_rows = int(cols["n_rows"][i].as_py())
@@ -276,9 +286,16 @@ def append_extra_column(
     ((name, etype),) = widened.extra_specs()[len(cfg.extra_specs()):]
     dp = decimal_params(etype)
     sql_t = f"decimal({dp[0]},{dp[1]})" if dp else _SPARK_VALUE_TYPES[etype]
+    # try_cast, not cast: under ANSI (Spark 4 default) a malformed value
+    # would abort the stage with a raw NumberFormatException mid-job;
+    # try_cast nulls it instead and the per-chunk counter below turns it
+    # into a typed error NAMING the problem ("present but not castable"),
+    # distinct from a coverage error (review finding)
+    casted = F.expr(f"try_cast({value_col} AS {sql_t})")
     vals = values_df.select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        F.col(value_col).cast(sql_t).alias("value"),
+        casted.alias("value"),
+        (F.col(value_col).isNotNull() & casted.isNull()).alias("__badcast"),
     )
     doc_map = chunk_df.select("chunk_id", "blob").mapInArrow(
         _doc_map_kernel, "chunk_id string, doc_id string, __ord int"
@@ -293,6 +310,9 @@ def append_extra_column(
             F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
             .cast("int")
             .alias("__missing"),
+            F.sum(F.when(F.col("__badcast"), 1).otherwise(0))
+            .cast("int")
+            .alias("__badcast"),
         )
     )
     joined = chunk_df.join(per_chunk, "chunk_id", "left")

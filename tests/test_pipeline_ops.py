@@ -1040,6 +1040,19 @@ def test_append_extra_column_roundtrip_and_guards(spark):
             chunks, vals.union(vals), "q3:int64", value_col="q"
         ).count()
     assert "duplicate doc_ids" in str(ei2.value)
+    # a present-but-uncastable value names the real problem, not coverage
+    first = df.select(F.min("doc_id")).collect()[0][0]
+    badvals = df.select(
+        "doc_id",
+        F.when(F.col("doc_id") == first, F.lit("abc"))
+        .otherwise(F.col("n_tok").cast("string"))
+        .alias("q"),
+    )
+    with pytest.raises(Exception) as ei3:
+        append_extra_column(
+            chunks, badvals, "q5:int64", value_col="q"
+        ).count()
+    assert "not castable" in str(ei3.value)
     # superset values are legal: a corpus-wide catalog annotates a subset
     # table without complaint
     extra_rows = spark.createDataFrame(

@@ -910,3 +910,22 @@ def test_run_decode_resumable_detects_extras_append(spark, tmp_path):
     )
     summary = run_decode_resumable(appended, out, n_shards=2)
     assert summary["shards_skipped"] == 0 and summary["shards_done"] == 2
+    # the adversarial variant (round-5 final review): drop + re-append
+    # with equal-width values preserves chunk_id, body crc, AND encoded
+    # length — only the full-blob crc component can catch it
+    from copybook_rs_spark.operators import drop_extra_column, widen_config
+
+    q_cfg = widen_config(CFG, "q")
+    vals2 = df.select("doc_id", (F.col("n_tok") + 3).cast("long").alias("q"))
+    rewritten = append_extra_column(
+        drop_extra_column(appended, "q", q_cfg), vals2, "q", cfg=CFG,
+        value_col="q",
+    ).cache()
+    same = (
+        appended.select("chunk_id", "crc32", "enc_bytes")
+        .exceptAll(rewritten.select("chunk_id", "crc32", "enc_bytes"))
+        .count()
+    )
+    assert same == 0  # precondition: rewrite invisible to crc32+enc_bytes
+    s2 = run_decode_resumable(rewritten, out, n_shards=2)
+    assert s2["shards_skipped"] == 0 and s2["shards_done"] == 2
