@@ -38,19 +38,23 @@ def bit_width(max_value: int) -> int:
 
 def bit_lengths(vals_u: np.ndarray) -> np.ndarray:
     """Exact per-element bit lengths (0..64) of a uint64 array, vectorized.
+    Returns an integer array (int32); callers only histogram/compare it.
 
-    Two-level frexp: every 32-bit half is exactly representable in float64,
-    so frexp's exponent IS the bit length — no binary search. ~3x the
-    searchsorted-against-powers-of-two derivation this replaces (profiled
-    as the top encode-path tottime at 64Ki-chunk scale)."""
+    Narrow fast path: when max < 2**32 every value is exactly representable
+    in float64, so ONE frexp exponent IS the bit length (3 array passes vs
+    8 for the split path — the round-5 profile had bit_lengths at 11% of
+    chunk encode, nearly all on <2**32 residual streams). Wide path keeps
+    the two-level 32-bit-half split for exactness past 2**53."""
     u = np.ascontiguousarray(vals_u, dtype=np.uint64)
     if len(u) == 0:
-        return np.zeros(0, dtype=np.int64)
+        return np.zeros(0, dtype=np.int32)
+    if int(u.max()) < 1 << 32:
+        return np.frexp(u.astype(np.float64))[1]
     hi = (u >> np.uint64(32)).astype(np.float64)
     lo = (u & np.uint64(0xFFFFFFFF)).astype(np.float64)
     bl_hi = np.frexp(hi)[1]
     bl_lo = np.frexp(lo)[1]
-    return np.where(hi > 0, bl_hi + 32, bl_lo).astype(np.int64)
+    return np.where(hi > 0, bl_hi + 32, bl_lo)
 
 
 def packed_size(n: int, width: int) -> int:
@@ -88,7 +92,10 @@ def pack(vals: np.ndarray, width: int) -> bytes:
         words = np.zeros(len(hi) // 8, dtype=np.uint64)  # 8r <= 56 bits used
         for i in range(8):
             words |= hi[i::8] << np.uint64(r * i)
-        wb = words.astype("<u8").view(np.uint8).reshape(-1, 8)[:, :r]
+        # words is freshly allocated native uint64; on LE that already IS
+        # the <u8 layout, so view instead of an astype copy
+        wsrc = words if _LE else words.astype("<u8")
+        wb = wsrc.view(np.uint8).reshape(-1, 8)[:, :r]
         parts.append(np.ascontiguousarray(wb).tobytes())
     return b"".join(parts)
 

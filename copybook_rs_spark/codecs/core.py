@@ -121,7 +121,10 @@ class ChunkStats:
     max_run_len: int
     max_zz_delta: int
     n_delta_runs: int = 0  # runs in the (modular) diff stream
-    zz_delta_p99: int = 0  # 99th-percentile zigzag delta (0 = unknown)
+    zz_delta_p99: int = 0  # 99th-percentile zigzag delta (0 = unknown,
+    # -1 = deferred: analyze found the delta-gate precondition holds but
+    # left the partition pass to zz_p99_value(), which most callers never
+    # reach — round-5 profile: ~3/4 of the p99 partitions were unconsumed)
     mode_count: int = 0  # frequency of the most common value (0 = unknown)
     mode_value: int = 0  # the most common value (valid iff mode_count > 0;
     # ties broken toward the SMALLEST value on every stats path)
@@ -132,6 +135,20 @@ class ChunkStats:
     # _run_break_idx: only ever attached to stats analyzed from the same
     # array the encoder receives)
     _zz_full: np.ndarray | None = field(default=None, repr=False)
+
+    def zz_p99_value(self) -> int:
+        """Resolve the (possibly deferred) robust delta width. The max(1,
+        ...) keeps the outlier exclusion meaningful at small n, where a
+        plain p99 degenerates to the max and re-includes the outlier.
+        Identical to the value analyze used to compute eagerly; caches
+        into zz_delta_p99 so repeat reads are free."""
+        if self.zz_delta_p99 == -1 and self._zz_full is not None:
+            zz_rest = self._zz_full[1:]
+            k = len(zz_rest) - 1 - max(1, len(zz_rest) // 100)
+            self.zz_delta_p99 = (
+                int(np.partition(zz_rest, k)[k]) if k >= 0 else 0
+            )
+        return max(self.zz_delta_p99, 0)
 
     @classmethod
     def analyze(
@@ -202,20 +219,17 @@ class ChunkStats:
         zz_full[0] = ((x << 1) ^ (x >> 63)) & 0xFFFFFFFFFFFFFFFF
         if n > 1:
             vi.zigzag_encode(diffs_u.view(np.int64), out=zz_full[1:])
-        zz_rest = zz_full[1:]
         max_zz = int(zz_full.max())
         # robust delta width: largest zigzag delta EXCLUDING the top
         # max(1, 1%) outliers (exact kth via partition) — distinguishes
         # "uniformly wide deltas" (delta can't win) from "small deltas +
-        # a few outlier jumps" (delta+pfor territory). The max(1, ...)
-        # keeps the exclusion meaningful at small n, where a plain p99
-        # degenerates to the max and re-includes the outlier. Computed
-        # only when the delta gate's run-density precondition holds (0
-        # disables the gate, which would not have fired anyway) — skips a
-        # partition pass per analyze on delta-friendly streams.
+        # a few outlier jumps" (delta+pfor territory). Relevant only when
+        # the delta gate's run-density precondition holds (0 disables the
+        # gate, which would not have fired anyway) — and even then the
+        # O(n) partition is DEFERRED to zz_p99_value(): the gate consults
+        # it only when delta is still a live candidate with a best-so-far.
         if n > 2 and n_delta_runs > max(n // 2, 4):
-            k = len(zz_rest) - 1 - max(1, len(zz_rest) // 100)
-            zz_p99 = int(np.partition(zz_rest, k)[k]) if k >= 0 else 0
+            zz_p99 = -1  # deferred
         elif n > 2:
             zz_p99 = 0
         else:
@@ -584,14 +598,17 @@ def _delta_skip_confirmed(
         return False  # near-majority: sub-cascade patch can reach O(1)
     # --- layer 2: width-frontier floor (min-referenced, sorted residuals)
     resid = szz - szz[0]
-    widths = bp.bit_lengths(resid)  # ascending (resid sorted)
-    top = int(widths[-1])
+    top = bp.bit_width(int(resid[-1]))
     if top == 0:
         return False
     floor = 6 + bp.packed_size(n, bp.bit_width(int(szz[-1])))
     floor = min(floor, 13 + 6 + bp.packed_size(n, top))
+    # count of residuals with bit length <= w == count < 2**w: one
+    # vectorized searchsorted over the SORTED residuals replaces the
+    # O(n) per-element bit_lengths pass (identical counts by definition)
+    le_counts = np.searchsorted(resid, _POW2[1:top]) if top > 1 else None
     for w in range(1, top):
-        k = n - int(np.searchsorted(widths, w, side="right"))
+        k = n - int(le_counts[w - 1])
         if k == 0:
             continue
         w_exc = bp.bit_width((int(resid[-1]) >> w) - (int(resid[n - k]) >> w))
@@ -673,7 +690,7 @@ def encode_array(
             # 13-byte reference header — it can never win
         if name == "delta" and best is not None and (
             stats.n_delta_runs > max(stats.n // 2, 4)
-            and 0 < stats.zz_delta_p99
+            and 0 < stats.zz_p99_value()
             and stats.zz_delta_p99 >= stats.vmax - stats.vmin
         ) and _delta_skip_confirmed(v, len(best), depth, stats):
             continue  # a run-free delta stream whose typical (p99) width

@@ -376,7 +376,7 @@ def test_delta_skip_gate_still_fires_on_high_entropy():
     v = rng.integers(0, 2**31, 64000).astype(np.int64)
     stats = core.ChunkStats.analyze(v)
     assert stats.n_delta_runs > max(stats.n // 2, 4)
-    assert stats.zz_delta_p99 >= stats.vmax - stats.vmin
+    assert stats.zz_p99_value() >= stats.vmax - stats.vmin
     best = core.encode_array(v, codec="bitpack")[0]
     assert core._delta_skip_confirmed(v, len(best), 0)
     auto, used = core.encode_array(v, codec="auto")
