@@ -428,3 +428,45 @@ def test_bit_lengths_exact_across_uint64_boundaries():
         bp.bit_lengths(r),
         np.array([int(x).bit_length() for x in r.tolist()], dtype=np.int64),
     )
+
+
+def test_fsst_bucket_and_searchsorted_paths_identical():
+    # the compress match path is chosen per table (hashed 3-byte-prefix
+    # bucket walk vs per-length gated searchsorted) — both must produce
+    # byte-identical code streams on the same data, whatever the shape
+    rng = np.random.default_rng(53)
+    streams = [
+        # digit/id stream: bucket path (small buckets)
+        np.frombuffer(
+            b"".join(f"{x:09d}".encode() for x in rng.integers(0, 10**9, 9000)),
+            dtype=np.uint8,
+        ),
+        # wordy text: searchsorted path (big same-prefix len-8 buckets)
+        np.frombuffer(
+            b" ".join(
+                [b"the", b"tokenizer", b"compression", b"pipeline"][i]
+                for i in rng.integers(0, 4, 30000)
+            ),
+            dtype=np.uint8,
+        ),
+        rng.integers(0, 256, 40000).astype(np.uint8),
+    ]
+    for data in streams:
+        table = fsst.train(data)
+        ser = table.serialize()
+        # two fresh table objects so each builds its own match structures
+        t_bucket, _ = fsst.SymbolTable.deserialize(memoryview(ser))
+        t_search, _ = fsst.SymbolTable.deserialize(memoryview(ser))
+        orig = fsst._BUCKET_K_MAX
+        try:
+            fsst._BUCKET_K_MAX = 255  # force bucket walk
+            out_bucket = fsst.compress(data, t_bucket)
+            fsst._BUCKET_K_MAX = 0  # force searchsorted fallback
+            out_search = fsst.compress(data, t_search)
+        finally:
+            fsst._BUCKET_K_MAX = orig
+        assert out_bucket == out_search
+        back = fsst.decompress(
+            np.frombuffer(out_bucket, dtype=np.uint8), t_bucket, len(data)
+        )
+        np.testing.assert_array_equal(back, data)
