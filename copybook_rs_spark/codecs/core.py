@@ -691,7 +691,7 @@ def encode_array(
         if name == "delta" and best is not None and (
             stats.n_delta_runs > max(stats.n // 2, 4)
             and 0 < stats.zz_p99_value()
-            and stats.zz_delta_p99 >= stats.vmax - stats.vmin
+            and stats.zz_p99_value() >= stats.vmax - stats.vmin
         ) and _delta_skip_confirmed(v, len(best), depth, stats):
             continue  # a run-free delta stream whose typical (p99) width
             # already covers the value range usually offers the cascade

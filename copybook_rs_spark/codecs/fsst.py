@@ -40,8 +40,10 @@ _KNUTH = 2654435761
 _BUCKET_K_MAX = 4  # largest bucket the slot walk beats binary search on
 
 
-def _hash24(p24: int) -> int:
-    """Knuth multiplicative hash of a 3-byte prefix into _HBITS bits."""
+def _hash24(p24):
+    """Knuth multiplicative hash of a 3-byte prefix into _HBITS bits.
+    Works on a python int or elementwise on an int64 array (products stay
+    under 2^56, no overflow)."""
     return ((p24 * _KNUTH) & 0xFFFFFFFF) >> (32 - _HBITS)
 
 
@@ -96,7 +98,7 @@ class SymbolTable:
         self.lenbits16 = None
         self.has_multi = bool(prefix2.any())
 
-    def _ensure_match_tables(self) -> None:
+    def _ensure_match_tables(self, bucket_ok: bool = True) -> None:
         """Exact-code table for length-2 symbols (single gather, no
         search) plus ONE of two structures for lengths >= 3, chosen
         deterministically from the table shape (pure function of the
@@ -132,7 +134,7 @@ class SymbolTable:
         for h, length, v, c in entries:
             buckets.setdefault(h, []).append((length, v, c))
         k_max = max((len(b) for b in buckets.values()), default=0)
-        if entries and k_max <= _BUCKET_K_MAX:
+        if entries and bucket_ok and k_max <= _BUCKET_K_MAX:
             tab24h = np.full(_HSIZE, 255, dtype=np.uint8)
             hashes = sorted(buckets)
             nb = len(hashes)
@@ -243,8 +245,7 @@ def _match(data: np.ndarray, table: SymbolTable, w: np.ndarray | None = None):
                 # to exactly one bucket whose slots ascend by length, so
                 # in-place overwrites keep longest-match-wins intact
                 p24 = (wc & np.uint64(0xFFFFFF)).astype(np.int64)
-                hsh = ((p24 * _KNUTH) & 0xFFFFFFFF) >> (32 - _HBITS)
-                b = table.tab24h[hsh]
+                b = table.tab24h[_hash24(p24)]
                 has = np.flatnonzero(b != 255)
                 if len(has):
                     bb = b[has].astype(np.int64)
@@ -388,6 +389,11 @@ def train(data: np.ndarray, iters: int = _TRAIN_ITERS) -> SymbolTable:
             taken = np.arange(n, dtype=np.int64)
             lens_t = np.ones(n, dtype=np.int64)
         else:
+            # throwaway intermediate table: force the cheap searchsorted
+            # structure — the 1 MiB bucket build is wasted on a table that
+            # only ever parses the 16 KiB training sample (match results
+            # are identical either way, so training is unaffected)
+            table._ensure_match_tables(bucket_ok=False)
             mlen, _, _ = _match(sample, table, w)
             taken = _greedy_positions(mlen, n)
             lens_t = mlen[taken]
