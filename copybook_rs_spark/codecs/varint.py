@@ -36,11 +36,18 @@ def zigzag_encode(vals: np.ndarray, out: np.ndarray | None = None) -> np.ndarray
 
 
 def zigzag_decode(codes: np.ndarray) -> np.ndarray:
-    """uint64 zigzag -> int64."""
+    """uint64 zigzag -> int64. Mirror of the encode fusion: both halves
+    are < 2**63 after their shift/mask, so .view reinterprets exactly
+    where astype would re-scan and copy; the negate and xor run in place
+    (4 passes / 1 temp vs 6 passes / 4 temps — zigzag_decode was a top-3
+    line of the round-5 delta/pfor decode profile)."""
     u = np.ascontiguousarray(codes, dtype=np.uint64)
-    return ((u >> np.uint64(1)).astype(np.int64)) ^ -(u & np.uint64(1)).astype(
-        np.int64
-    )
+    dst = np.right_shift(u, np.uint64(1))
+    di = dst.view(np.int64)
+    m = (u & np.uint64(1)).view(np.int64)
+    np.negative(m, out=m)
+    np.bitwise_xor(di, m, out=di)
+    return di
 
 
 def varint_encode(vals: np.ndarray) -> bytes:
