@@ -229,6 +229,51 @@ def _q_extras_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Point lookup over the ENCODED table (operators/lookup.py): keys are
+    # the docs whose orderkey starts with 17 (a deterministic ~1% slice
+    # that clusters in doc_id sort order, so the zone map has something to
+    # skip), fetched via salt-plan recovery + first_doc_id bracketing +
+    # an In(chunk_id) pushed scan filter — decoding only candidate
+    # chunks. The oracle recomputes the same slice straight from the
+    # token formula, so a missed doc, a duplicate, or a token corrupted
+    # anywhere in the pruned path breaks the checksum. The pruning itself
+    # is asserted: candidates must be a strict subset of the chunk table.
+    from copybook_rs_spark.operators import (
+        candidate_chunk_ids,
+        lookup_docs,
+        recover_salt_plan,
+    )
+
+    tok = token_table(spark, sf_dir)
+    chunks = encode_tokens(tok, _CFG).cache()
+    try:
+        keys = tok.where(F.col("doc_id").like("doc_17%")).select(
+            "source", "doc_id"
+        )
+        salts = recover_salt_plan(chunks)
+        n_cand = candidate_chunk_ids(chunks, keys, salts=salts).count()
+        assert 0 < n_cand < chunks.count(), n_cand
+        hits = lookup_docs(chunks, keys, cfg=_CFG, salts=salts)
+        rows = (
+            hits.groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tok").cast("bigint").alias("n_values"),
+                F.sum(F.expr("aggregate(tokens, 0L, (a, x) -> a + x)"))
+                .cast("bigint")
+                .alias("token_checksum"),
+            )
+            .collect()
+        )
+    finally:
+        chunks.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "source string, n_docs bigint, n_values bigint, token_checksum bigint",
+    )
+
+
 def _q_manifest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A1 RunSummary analogue: manifest totals must equal input totals.
     tok = token_table(spark, sf_dir)
@@ -820,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resumable_roundtrip": _q_resumable_roundtrip,
         "extras_append": _q_extras_append,
         "extras_evolution": _q_extras_evolution,
+        "doc_lookup": _q_doc_lookup,
         "manifest_agg": _q_manifest_agg,
         "topk_sources": _q_topk_sources,
         "token_histogram": _q_token_histogram,
@@ -1084,6 +1130,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tok) AS BIGINT) AS n_values,
                    CAST(sum(list_sum(tokens)) AS BIGINT) AS token_checksum
             FROM {_TOK}
+            GROUP BY source
+        """,
+        "doc_lookup": f"""
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_values,
+                   CAST(sum(list_sum(tokens)) AS BIGINT) AS token_checksum
+            FROM {_TOK}
+            WHERE doc_id LIKE 'doc_17%'
             GROUP BY source
         """,
         "extras_append": f"""

@@ -14,4 +14,9 @@ from copybook_rs_spark.operators.decode import (  # noqa: F401
     run_decode,
     run_decode_resumable,
 )
+from copybook_rs_spark.operators.lookup import (  # noqa: F401
+    candidate_chunk_ids,
+    lookup_docs,
+    recover_salt_plan,
+)
 from copybook_rs_spark.operators.verify import roundtrip_mismatches  # noqa: F401
