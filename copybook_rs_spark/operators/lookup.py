@@ -55,19 +55,13 @@ import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
 from copybook_rs_spark.errors import PipelineContractError
-from copybook_rs_spark.plans.partition import SALT_SEED
+from copybook_rs_spark.plans.partition import salt_hash, salt_mapping
 
 _META_COLS = ("chunk_id", "source", "part_id", "chunk_seq", "first_doc_id")
 # Collected-candidate cap: below it the chunk_id list rides into the scan
 # as a pushed In() filter; above it we keep the ids distributed.
 _MAX_COLLECTED = 100_000
 _SEARCH_BLOCK = 1 << 16
-
-
-def _salt_hash(col):
-    """EXACTLY with_part_id's hash expression — any drift silently breaks
-    part recovery, so both sites use SALT_SEED from plans.partition."""
-    return F.xxhash64(col, F.lit(SALT_SEED))
 
 
 def recover_salt_plan(
@@ -94,7 +88,7 @@ def recover_salt_plan(
     samples = (
         meta.where((F.col("chunk_seq") == 0) & (F.col("part_id") < n_samples))
         .select(
-            "source", "part_id", _salt_hash(F.col("first_doc_id")).alias("h")
+            "source", "part_id", salt_hash(F.col("first_doc_id")).alias("h")
         )
         .collect()
     )
@@ -124,13 +118,11 @@ def recover_salt_plan(
     # Certify against EVERY chunk of the claimed sources in one job: a
     # wrong S (ambiguous sample / foreign partitioner) leaves residues
     # that disagree somewhere; one disagreement disqualifies the source.
-    mapping = F.create_map(
-        *[x for k, v in sorted(plan.items()) for x in (F.lit(k), F.lit(v))]
-    )
+    mapping = salt_mapping(plan)
     bad = (
         meta.where(F.col("source").isin(list(plan)))
         .where(
-            F.pmod(_salt_hash(F.col("first_doc_id")), mapping[F.col("source")])
+            F.pmod(salt_hash(F.col("first_doc_id")), mapping[F.col("source")])
             != F.col("part_id")
         )
         .select("source")
@@ -221,12 +213,10 @@ def candidate_chunk_ids(
     parts = []
     k_cert = k.where(F.col("__k_src").isin(list(salts))) if salts else None
     if salts:
-        mapping = F.create_map(
-            *[x for k_, v in sorted(salts.items()) for x in (F.lit(k_), F.lit(v))]
-        )
+        mapping = salt_mapping(salts)
         k_exact = k_cert.withColumn(
             "__k_part",
-            F.pmod(_salt_hash(F.col("__k_doc")), mapping[F.col("__k_src")]).cast(
+            F.pmod(salt_hash(F.col("__k_doc")), mapping[F.col("__k_src")]).cast(
                 "int"
             ),
         )

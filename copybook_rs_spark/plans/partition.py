@@ -55,17 +55,30 @@ def plan_salts(
     return plan
 
 
+def salt_mapping(salts: dict[str, int]):
+    """source -> S literal map expression. The ONE construction shared by
+    the encode side (with_part_id) and the lookup side (operators/lookup.py
+    recovers S and replays the same hash + map to find a doc's part) — any
+    drift between the two silently mis-routes point lookups."""
+    return F.create_map(
+        *[x for k, v in sorted(salts.items()) for x in (F.lit(k), F.lit(v))]
+    )
+
+
+def salt_hash(col):
+    """EXACTLY the part-assignment hash: xxhash64(doc_id, lit(SALT_SEED)).
+    Shared with operators/lookup.py for the same no-drift reason."""
+    return F.xxhash64(col, F.lit(SALT_SEED))
+
+
 def with_part_id(df: DataFrame, salts: dict[str, int]) -> DataFrame:
     """Add deterministic part_id = pmod(xxhash64(doc_id), S(source))."""
     salt_expr = F.lit(1)
     if salts:
-        mapping = F.create_map(
-            *[x for k, v in sorted(salts.items()) for x in (F.lit(k), F.lit(v))]
-        )
-        salt_expr = F.coalesce(mapping[F.col("source")], F.lit(1))
+        salt_expr = F.coalesce(salt_mapping(salts)[F.col("source")], F.lit(1))
     return df.withColumn(
         "part_id",
-        F.pmod(F.xxhash64(F.col("doc_id"), F.lit(SALT_SEED)), salt_expr).cast("int"),
+        F.pmod(salt_hash(F.col("doc_id")), salt_expr).cast("int"),
     )
 
 
