@@ -19,4 +19,9 @@ from copybook_rs_spark.operators.lookup import (  # noqa: F401
     lookup_docs,
     recover_salt_plan,
 )
+from copybook_rs_spark.operators.mutate import (  # noqa: F401
+    delete_docs,
+    insert_docs,
+    upsert_docs,
+)
 from copybook_rs_spark.operators.verify import roundtrip_mismatches  # noqa: F401

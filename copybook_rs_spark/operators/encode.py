@@ -193,6 +193,56 @@ def _extra_weight(etype: str, lens: np.ndarray) -> np.ndarray:
     return lens
 
 
+def chunk_row(
+    cfg: EncodeConfig,
+    source: str,
+    part_id: int,
+    seq: int,
+    doc_b: bytes,
+    doc_l: np.ndarray,
+    vals: np.ndarray,
+    extras: list[tuple[str, str, np.ndarray, np.ndarray]],
+    b: bytes,
+    info: dict,
+    chunk_id: str | None = None,
+) -> dict:
+    """Chunk-table row for an encoded blob — the ONE place the row's
+    derived fields (stats, raw/enc byte accounting, first_doc_id, id
+    format) are defined; shared by the encode kernel and the mutation
+    rewrites (operators/mutate.py). chunk_id=None derives the canonical
+    source/part/seq id; mutation passes the original id through (appended
+    tables carry batch-prefixed ids that must survive a rewrite)."""
+    s = info["stats"]
+    first_doc = doc_b[: int(doc_l[0])].decode("utf-8") if len(doc_l) else ""
+    # raw footprint this blob replaces: token values at their declared
+    # width plus every extra column's native width (bytes for strings)
+    tok_w = 8 if cfg.token_dtype == "int64" else 4
+    raw = tok_w * len(vals)
+    for _n, t, _el, ev in extras:
+        raw += _extra_raw_width(t) * len(ev)
+    return {
+        "chunk_id": (
+            f"{source}/{part_id:05d}/{seq:06d}" if chunk_id is None else chunk_id
+        ),
+        "source": source,
+        "part_id": part_id,
+        "chunk_seq": seq,
+        "codec": info["codec"],
+        "n_rows": int(len(doc_l)),
+        "n_values": int(len(vals)),
+        "raw_bytes": int(raw),
+        "enc_bytes": int(len(b)),
+        "min_token": int(s.vmin),
+        "max_token": int(s.vmax),
+        "n_distinct": int(s.n_distinct),
+        "n_runs": int(s.n_runs),
+        "first_doc_id": first_doc,
+        "crc32": int(info["crc32"]),
+        "schema_fp": cfg.fingerprint,
+        "blob": b,
+    }
+
+
 class _GroupBuffer:
     """Pending rows of one (source, part_id) group; flushes fixed-budget
     chunks of whole documents (the bounded-memory streaming analogue,
@@ -339,33 +389,10 @@ class _GroupBuffer:
         for n, tabs in info["extras_fsst_tables"].items():
             if self.ex_fsst.get(n) is None and tabs is not None:
                 self.ex_fsst[n] = tabs
-        s = info["stats"]
-        first_doc = doc_b[: int(doc_l[0])].decode("utf-8") if len(doc_l) else ""
-        # raw footprint this blob replaces: token values at their declared
-        # width plus every extra column's native width (bytes for strings)
-        tok_w = 8 if cfg.token_dtype == "int64" else 4
-        raw = tok_w * len(vals)
-        for _n, t, _el, ev in extras:
-            raw += _extra_raw_width(t) * len(ev)
-        row = {
-            "chunk_id": f"{self.source}/{self.part_id:05d}/{self.seq:06d}",
-            "source": self.source,
-            "part_id": self.part_id,
-            "chunk_seq": self.seq,
-            "codec": info["codec"],
-            "n_rows": int(end - start),
-            "n_values": int(len(vals)),
-            "raw_bytes": int(raw),
-            "enc_bytes": int(len(b)),
-            "min_token": int(s.vmin),
-            "max_token": int(s.vmax),
-            "n_distinct": int(s.n_distinct),
-            "n_runs": int(s.n_runs),
-            "first_doc_id": first_doc,
-            "crc32": int(info["crc32"]),
-            "schema_fp": cfg.fingerprint,
-            "blob": b,
-        }
+        row = chunk_row(
+            cfg, self.source, self.part_id, self.seq,
+            doc_b, doc_l, vals, extras, b, info,
+        )
         self.seq += 1
         return row
 

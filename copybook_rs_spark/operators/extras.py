@@ -171,10 +171,12 @@ def make_append_kernel(name: str, etype: str, base_fp: str, widened_fp: str):
 
 
 def _check_schema_fp(op: str, name: str, cid: str, fp: str, want: str) -> None:
-    """Shared per-row fingerprint guard for the evolution kernels."""
+    """Shared per-row fingerprint guard for the evolution/mutation kernels
+    (name='' for ops that are not about one column)."""
     if fp != want:
+        label = f"{op}[{name}]" if name else op
         raise PipelineContractError(
-            f"{op}[{name}]: chunk {cid!r} has schema_fp {fp[:12]}… but cfg "
+            f"{label}: chunk {cid!r} has schema_fp {fp[:12]}… but cfg "
             f"fingerprints {want[:12]}… — pass the EncodeConfig the table "
             "currently decodes with"
         )

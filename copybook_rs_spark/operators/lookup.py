@@ -186,20 +186,17 @@ def _bracketed_meta(chunk_df: DataFrame, validate: bool) -> DataFrame:
     return meta.withColumn("__next_first", F.lead("first_doc_id").over(w))
 
 
-def candidate_chunk_ids(
+def candidate_hits(
     chunk_df: DataFrame,
     keys,
     salts: dict[str, int] | None = None,
     validate: bool = True,
 ) -> DataFrame:
-    """Distinct chunk_ids that can contain the requested (source, doc_id)
-    keys — a candidate SUPERSET in the data-skipping sense (kept chunks
-    may hold other docs; apply the exact key filter after decode).
-
-    salts: encode-time S(source) plan (or recover_salt_plan output). For
-    covered sources each key prunes to its ONE hash-assigned part; others
-    bracket every part of the source. MUST be the exact encode plan —
-    prefer recover_salt_plan, which certifies against the table."""
+    """(chunk_id, __k_doc) pairs: for each requested (source, doc_id) key,
+    the chunks whose zone-map bracket can contain it — the shared pruning
+    core of candidate_chunk_ids (point lookup) and delete_docs (mutation),
+    which needs to know WHICH keys target each candidate chunk. Superset
+    semantics: a paired chunk may not actually hold the key."""
     kdf, _ = _normalize_keys(chunk_df, keys)
     meta = _bracketed_meta(chunk_df, validate)
     k = kdf.select(
@@ -235,10 +232,29 @@ def candidate_chunk_ids(
             F.broadcast(k_rest), meta["source"] == F.col("__k_src")
         ).where(bracket)
     )
-    hits = parts[0]
+    hits = parts[0].select("chunk_id", "__k_doc")
     for p in parts[1:]:
-        hits = hits.select("chunk_id").unionByName(p.select("chunk_id"))
-    return hits.select("chunk_id").distinct()
+        hits = hits.unionByName(p.select("chunk_id", "__k_doc"))
+    return hits
+
+
+def candidate_chunk_ids(
+    chunk_df: DataFrame,
+    keys,
+    salts: dict[str, int] | None = None,
+    validate: bool = True,
+) -> DataFrame:
+    """Distinct chunk_ids that can contain the requested (source, doc_id)
+    keys — a candidate SUPERSET in the data-skipping sense (kept chunks
+    may hold other docs; apply the exact key filter after decode).
+
+    salts: encode-time S(source) plan (or recover_salt_plan output). For
+    covered sources each key prunes to its ONE hash-assigned part; others
+    bracket every part of the source. MUST be the exact encode plan —
+    prefer recover_salt_plan, which certifies against the table."""
+    return candidate_hits(
+        chunk_df, keys, salts=salts, validate=validate
+    ).select("chunk_id").distinct()
 
 
 def lookup_docs(
