@@ -274,6 +274,61 @@ def _q_doc_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mutation_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Encoded-table mutation (operators/mutate.py): physically DELETE the
+    # doc_23% slice, then UPSERT the doc_17% slice with every token +1 —
+    # all at O(affected chunks), untouched blobs passing through verbatim
+    # (the reference's only mutation story is a full re-encode,
+    # crates/copybook-cli/src/commands/encode.rs). The oracle recomputes
+    # the mutated corpus straight from the token formula (each +1 token
+    # adds n_tok to the doc's checksum), so a doc deleted from the wrong
+    # chunk, a lost survivor in a rewritten chunk, or a mis-bracketed
+    # insert breaks the per-source value checksum. Pruning is asserted:
+    # the delete's candidate set must be a strict subset of the table.
+    from copybook_rs_spark.operators import (
+        candidate_chunk_ids,
+        decode_tokens,
+        delete_docs,
+        recover_salt_plan,
+        upsert_docs,
+    )
+
+    tok = token_table(spark, sf_dir)
+    chunks = encode_tokens(tok, _CFG).cache()
+    try:
+        salts = recover_salt_plan(chunks)
+        kill = tok.where(F.col("doc_id").like("doc_23%")).select(
+            "source", "doc_id"
+        )
+        n_cand = candidate_chunk_ids(chunks, kill, salts=salts).count()
+        assert 0 < n_cand < chunks.count(), n_cand
+        mod = tok.where(F.col("doc_id").like("doc_17%")).withColumn(
+            "tokens", F.expr("transform(tokens, t -> t + 1)")
+        )
+        mutated = upsert_docs(
+            delete_docs(chunks, kill, cfg=_CFG, salts=salts),
+            mod, cfg=_CFG, salts=salts,
+        )
+        rows = (
+            decode_tokens(mutated, cfg=_CFG)
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tok").cast("bigint").alias("n_values"),
+                F.sum(F.expr("aggregate(tokens, 0L, (a, x) -> a + x)"))
+                .cast("bigint")
+                .alias("token_checksum"),
+            )
+            .collect()
+        )
+    finally:
+        chunks.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "source string, n_docs bigint, n_values bigint, token_checksum bigint",
+    )
+
+
 def _q_manifest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A1 RunSummary analogue: manifest totals must equal input totals.
     tok = token_table(spark, sf_dir)
@@ -866,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extras_append": _q_extras_append,
         "extras_evolution": _q_extras_evolution,
         "doc_lookup": _q_doc_lookup,
+        "mutation_upsert": _q_mutation_upsert,
         "manifest_agg": _q_manifest_agg,
         "topk_sources": _q_topk_sources,
         "token_histogram": _q_token_histogram,
@@ -1139,6 +1195,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(list_sum(tokens)) AS BIGINT) AS token_checksum
             FROM {_TOK}
             WHERE doc_id LIKE 'doc_17%'
+            GROUP BY source
+        """,
+        "mutation_upsert": f"""
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_values,
+                   CAST(sum(list_sum(tokens)
+                            + CASE WHEN doc_id LIKE 'doc_17%'
+                                   THEN n_tok ELSE 0 END)
+                        AS BIGINT) AS token_checksum
+            FROM {_TOK}
+            WHERE doc_id NOT LIKE 'doc_23%'
             GROUP BY source
         """,
         "extras_append": f"""
