@@ -305,22 +305,26 @@ def _q_mutation_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         mod = tok.where(F.col("doc_id").like("doc_17%")).withColumn(
             "tokens", F.expr("transform(tokens, t -> t + 1)")
         )
-        mutated = upsert_docs(
-            delete_docs(chunks, kill, cfg=_CFG, salts=salts),
-            mod, cfg=_CFG, salts=salts,
-        )
-        rows = (
-            decode_tokens(mutated, cfg=_CFG)
-            .groupBy("source")
-            .agg(
-                F.count("*").alias("n_docs"),
-                F.sum("n_tok").cast("bigint").alias("n_values"),
-                F.sum(F.expr("aggregate(tokens, 0L, (a, x) -> a + x)"))
-                .cast("bigint")
-                .alias("token_checksum"),
+        # cache the intermediate: upsert's driver-side metadata passes
+        # (source inventory, candidate collects) would otherwise re-run
+        # the delete rewrite once per pass
+        deleted = delete_docs(chunks, kill, cfg=_CFG, salts=salts).cache()
+        try:
+            mutated = upsert_docs(deleted, mod, cfg=_CFG, salts=salts)
+            rows = (
+                decode_tokens(mutated, cfg=_CFG)
+                .groupBy("source")
+                .agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum("n_tok").cast("bigint").alias("n_values"),
+                    F.sum(F.expr("aggregate(tokens, 0L, (a, x) -> a + x)"))
+                    .cast("bigint")
+                    .alias("token_checksum"),
+                )
+                .collect()
             )
-            .collect()
-        )
+        finally:
+            deleted.unpersist()
     finally:
         chunks.unpersist()
     return spark.createDataFrame(

@@ -207,15 +207,42 @@ def test_upsert_replaces_and_inserts(spark, tok_df, chunks, keys):
         [("zz_new_doc", [9, 9, 9], 3, "web")],
         "doc_id string, tokens array<int>, n_tok int, source string",
     )
-    up = upsert_docs(chunks, mod.unionByName(fresh), cfg=CFG)
-    got = _tok_rows(decode_tokens(up, cfg=CFG))
-    want = _tok_rows(
-        tok_df.where(~F.col("doc_id").isin(keys[:10]))
-        .select("source", "doc_id", "tokens")
-        .unionByName(mod.select("source", "doc_id", "tokens"))
-        .unionByName(fresh.select("source", "doc_id", "tokens"))
+    up = upsert_docs(chunks, mod.unionByName(fresh), cfg=CFG).cache()
+    try:
+        got = _tok_rows(decode_tokens(up, cfg=CFG))
+        want = _tok_rows(
+            tok_df.where(~F.col("doc_id").isin(keys[:10]))
+            .select("source", "doc_id", "tokens")
+            .unionByName(mod.select("source", "doc_id", "tokens"))
+            .unionByName(fresh.select("source", "doc_id", "tokens"))
+        )
+        assert got == want
+        # fused rewrite: non-candidate blobs still pass through verbatim
+        orig, new = _blob_map(chunks), _blob_map(up)
+        untouched = [c for c in new if new.get(c) == orig.get(c)]
+        assert len(untouched) > len(orig) // 2
+    finally:
+        up.unpersist()
+
+
+def test_insert_fresh_source_gets_data_sized_salt_plan(spark, tok_df, chunks):
+    # a large brand-new source must fan out across parts like a fresh
+    # encode would (plan_salts over the leftover subset) — never collapse
+    # to the S=1 one-part fallback
+    # ~2000 * 16.5 = ~33k token values >> CFG's 12,288-value part target,
+    # so a correct plan gives S >= 2
+    n_docs, n_tok = 2000, 32
+    fresh = spark.createDataFrame(
+        [(f"f{i:05d}", list(range(i % n_tok + 1)), i % n_tok + 1, "huge_new")
+         for i in range(n_docs)],
+        "doc_id string, tokens array<int>, n_tok int, source string",
     )
-    assert got == want
+    after = insert_docs(chunks, fresh, cfg=CFG)
+    parts = (
+        after.where(F.col("source") == "huge_new")
+        .select("part_id").distinct().count()
+    )
+    assert parts > 1, "fresh source collapsed to one part (S=1 fallback)"
 
 
 def test_mutation_preserves_extras(spark):
