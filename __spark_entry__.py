@@ -333,6 +333,84 @@ def _q_mutation_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extras_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Zone-map filtered decode (operators/zonemap.py): encode lineitem with
+    # an int64 extra column (aux = l_orderkey), build the advisory extras
+    # zone-map index (one blob scan decompressing ONLY the aux payloads),
+    # then decode exactly the docs whose aux lies in a selective band —
+    # non-candidate chunks are pruned via a pushed In(chunk_id) filter and
+    # never decoded. Pruning is asserted (candidates must be a strict
+    # subset); the oracle recomputes the band aggregate straight from the
+    # raw table, so a wrongly-pruned chunk (missing docs) or a sloppy
+    # envelope (extra docs) breaks n_docs and both checksums. The
+    # reference's only row-filter story is full decode + filter
+    # (crates/copybook-cli/src/commands/decode.rs).
+    from copybook_rs_spark.operators import (
+        build_extras_index,
+        decode_where,
+        filter_chunks_by_extras,
+    )
+    from copybook_rs_spark.sources.tokens import TOKENS_SPARK_EXPR
+
+    # MANY chunks per part: parts are hash-uniform samples of the whole
+    # key range, so a chunk covering most of its part spans every key and
+    # prunes nothing — envelopes only narrow when the part's sorted doc
+    # run splits across ~32 chunks (chunk_values << target_values_per_part)
+    cfg = EncodeConfig(
+        extra_columns=("aux",), chunk_values=2048,
+        target_values_per_part=65_536,
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # ZERO-PADDED doc ids: docs sort by doc_id within each part before
+    # chunking, so padding makes string order == numeric orderkey order and
+    # the aux (= l_orderkey) envelopes come out tight — the layout a real
+    # ingest keyed by a monotonic id gets for free. (The unpadded
+    # DOC_ID_EXPR interleaves digit counts lexicographically and every
+    # chunk's envelope spans the whole key range — zone maps prune
+    # nothing.) The row_number tiebreaker mirrors sources/tokens.py::_RN:
+    # (l_orderkey, l_linenumber) alone is not unique in the driver data.
+    df = li.selectExpr(
+        "format_string('doc_%09d_%d_%d_%d_%d', l_orderkey, l_linenumber, "
+        "l_partkey, l_suppkey, row_number() OVER (PARTITION BY l_orderkey, "
+        "l_linenumber, l_partkey, l_suppkey ORDER BY l_quantity, "
+        "l_extendedprice, l_shipdate)) as doc_id",
+        f"{TOKENS_SPARK_EXPR} as tokens",
+        "cast(1 + pmod(l_partkey, 64) as int) as n_tok",
+        "l_returnflag as source",
+        "array(l_orderkey) as aux",
+    )
+    lo, hi = 1000, 3000
+    chunks = encode_tokens(df, cfg).cache()
+    try:
+        idx = build_extras_index(chunks, ["aux"], cfg=cfg).cache()
+        try:
+            n_cand = filter_chunks_by_extras(
+                chunks, idx, "aux", lo=lo, hi=hi, etype="int64"
+            ).count()
+            assert 0 < n_cand < chunks.count(), n_cand
+            rows = (
+                decode_where(chunks, idx, "aux", lo=lo, hi=hi, cfg=cfg)
+                .groupBy("source")
+                .agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum(F.expr("aggregate(tokens, 0L, (a, x) -> a + x)"))
+                    .cast("bigint")
+                    .alias("tok_sum"),
+                    F.sum(F.expr("aggregate(aux, 0L, (a, x) -> a + x)"))
+                    .cast("bigint")
+                    .alias("aux_sum"),
+                )
+                .collect()
+            )
+        finally:
+            idx.unpersist()
+    finally:
+        chunks.unpersist()
+    return spark.createDataFrame(
+        rows, "source string, n_docs bigint, tok_sum bigint, aux_sum bigint"
+    )
+
+
 def _q_manifest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A1 RunSummary analogue: manifest totals must equal input totals.
     tok = token_table(spark, sf_dir)
@@ -926,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extras_evolution": _q_extras_evolution,
         "doc_lookup": _q_doc_lookup,
         "mutation_upsert": _q_mutation_upsert,
+        "extras_filter": _q_extras_filter,
         "manifest_agg": _q_manifest_agg,
         "topk_sources": _q_topk_sources,
         "token_histogram": _q_token_histogram,
@@ -1212,6 +1291,16 @@ def oracle_sql() -> dict[str, str]:
             FROM {_TOK}
             WHERE doc_id NOT LIKE 'doc_23%'
             GROUP BY source
+        """,
+        "extras_filter": f"""
+            SELECT l_returnflag AS source,
+                   count(*) AS n_docs,
+                   CAST(sum(list_sum({TOKENS_DUCKDB_EXPR})) AS BIGINT)
+                     AS tok_sum,
+                   CAST(sum(l_orderkey) AS BIGINT) AS aux_sum
+            FROM lineitem
+            WHERE l_orderkey BETWEEN 1000 AND 3000
+            GROUP BY l_returnflag
         """,
         "extras_append": f"""
             SELECT source,

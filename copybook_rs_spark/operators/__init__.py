@@ -25,3 +25,8 @@ from copybook_rs_spark.operators.mutate import (  # noqa: F401
     upsert_docs,
 )
 from copybook_rs_spark.operators.verify import roundtrip_mismatches  # noqa: F401
+from copybook_rs_spark.operators.zonemap import (  # noqa: F401
+    build_extras_index,
+    decode_where,
+    filter_chunks_by_extras,
+)

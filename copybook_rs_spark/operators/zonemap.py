@@ -1,0 +1,367 @@
+"""Extras zone-map index: chunk-skipping for predicates on extra columns.
+
+The chunk table has carried token zone maps since v1 (min_token/max_token,
+`filter_chunks_by_token_range`) but extra columns had none: a selective
+predicate on an annotation column (quality score, price band) decoded
+every chunk. This module adds an ADVISORY secondary index:
+
+1. **Build** (`build_extras_index`): one scan over the blobs, decoding
+   ONLY the indexed columns' payloads (`blob.decode_extras` walks skipped
+   columns as pointer arithmetic — token sections are never touched), and
+   emits per-(chunk, column) min/max envelopes keyed by
+   ``(chunk_id, crc32)``.
+
+2. **Prune** (`filter_chunks_by_extras`): candidates = chunks whose
+   envelope overlaps the requested range, UNION chunks the index does not
+   describe — a chunk rewritten in place (mutation, extras append) changes
+   its crc32, so its stale index row simply stops matching and the chunk
+   falls back to candidacy. The index can therefore PRUNE but never LIE:
+   no invalidation protocol, no staleness window. Small candidate sets are
+   collected and pushed into the parquet scan as an ``In(chunk_id)``
+   filter (the lookup_docs contract: skipped blobs are never read);
+   large ones fall back to a semi-join (blobs read, never decoded).
+
+3. **Filter** (`decode_where`): prune -> decode candidates -> exact
+   row-level predicate, so results equal decode-everything-and-filter.
+
+Predicate semantics: a document matches when ANY element of the column
+falls in ``[lo, hi]`` (extras are ragged arrays; scalar columns are the
+one-element case, decimal columns compare as scalars). Envelope tests are
+conservative under exactly these semantics. Float NaN follows Spark
+ordering (NaN > every value): a NaN element can only satisfy a predicate
+with no upper bound, so chunks flagged ``has_nan`` stay candidates in
+that case alone.
+
+At 100 TB: the unknown-chunk check reads two narrow metadata columns
+(parquet column pruning keeps blobs out of that scan), the index is one
+~60-byte row per chunk per column (~25M chunks for 100 TB raw — a small
+parquet table), and the decode cost scales with the SELECTED band, not
+the corpus. Reference has no analogue — its only row-filter story is
+full decode (crates/copybook-cli/src/commands/decode.rs).
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from copybook_rs_spark import blob as blob_mod
+from copybook_rs_spark.config import decimal_params
+from copybook_rs_spark.errors import PipelineContractError, TruncatedBlobError
+
+INDEX_SCHEMA = StructType(
+    [
+        StructField("chunk_id", StringType(), False),
+        StructField("crc32", LongType(), False),
+        StructField("column", StringType(), False),
+        StructField("etype", StringType(), False),
+        # exact typed bounds: int64/decimal(unscaled) use the _int pair,
+        # float32/float64 the _flt pair (float64 cannot represent every
+        # int64 — a rounded bound could wrongly EXCLUDE a chunk)
+        StructField("vmin_int", LongType(), True),
+        StructField("vmax_int", LongType(), True),
+        StructField("vmin_flt", DoubleType(), True),
+        StructField("vmax_flt", DoubleType(), True),
+        StructField("n_vals", LongType(), False),
+        StructField("has_nan", BooleanType(), False),
+    ]
+)
+
+_INDEX_PA = pa.schema(
+    [
+        ("chunk_id", pa.string()),
+        ("crc32", pa.int64()),
+        ("column", pa.string()),
+        ("etype", pa.string()),
+        ("vmin_int", pa.int64()),
+        ("vmax_int", pa.int64()),
+        ("vmin_flt", pa.float64()),
+        ("vmax_flt", pa.float64()),
+        ("n_vals", pa.int64()),
+        ("has_nan", pa.bool_()),
+    ]
+)
+
+# same collected-candidate cap contract as operators/lookup.py
+_MAX_COLLECTED = 100_000
+
+
+def _make_index_kernel(cols: tuple[str, ...]):
+    want = set(cols)
+
+    def kernel(batches):
+        from copybook_rs_spark.operators.multimodal import _binary_views
+
+        for batch in batches:
+            ids = batch.column("chunk_id").to_pylist()
+            crcs = batch.column("crc32").to_pylist()
+            boff, raw = _binary_views(batch.column("blob"))
+            base = raw.data
+            out: dict[str, list] = {f.name: [] for f in _INDEX_PA}
+            for i in range(batch.num_rows):
+                mv = base[boff[i] : boff[i + 1]]
+                if len(mv) < blob_mod.HEADER_LEN:
+                    raise TruncatedBlobError("blob shorter than header")
+                n_rows = blob_mod._HEADER.unpack_from(mv)[3]
+                ex = blob_mod.decode_extras(mv, n_rows, names=want)
+                missing = want - set(ex)
+                if missing:
+                    raise PipelineContractError(
+                        f"chunk {ids[i]} has no extras column(s) "
+                        f"{sorted(missing)} — the index must cover every "
+                        "chunk (was the column appended to only part of "
+                        "the table?)"
+                    )
+                for c in cols:
+                    etype, _lens, vals = ex[c]
+                    if etype == "string":
+                        raise PipelineContractError(
+                            f"extras[{c}] is a string column — zone maps "
+                            "index numeric extras only"
+                        )
+                    n_vals = int(len(vals))
+                    vmin_i = vmax_i = None
+                    vmin_f = vmax_f = None
+                    has_nan = False
+                    if n_vals:
+                        if vals.dtype.kind == "f":
+                            has_nan = bool(np.isnan(vals).any())
+                            if not (has_nan and np.isnan(vals).all()):
+                                vmin_f = float(np.nanmin(vals))
+                                vmax_f = float(np.nanmax(vals))
+                        else:
+                            vmin_i = int(vals.min())
+                            vmax_i = int(vals.max())
+                    out["chunk_id"].append(ids[i])
+                    out["crc32"].append(int(crcs[i]))
+                    out["column"].append(c)
+                    out["etype"].append(etype)
+                    out["vmin_int"].append(vmin_i)
+                    out["vmax_int"].append(vmax_i)
+                    out["vmin_flt"].append(vmin_f)
+                    out["vmax_flt"].append(vmax_f)
+                    out["n_vals"].append(n_vals)
+                    out["has_nan"].append(has_nan)
+            yield pa.RecordBatch.from_pydict(out, schema=_INDEX_PA)
+
+    return kernel
+
+
+def build_extras_index(
+    chunk_df: DataFrame, columns, cfg=None
+) -> DataFrame:
+    """Chunk table -> zone-map index rows (INDEX_SCHEMA) for the named
+    numeric extra columns. One blob scan; only the indexed columns'
+    payloads are decompressed. Persist the result next to the table
+    (plain parquet) and reuse it across queries — entries are keyed by
+    (chunk_id, crc32), so rewritten chunks age out of the index safely
+    (they become unknown -> always candidates) rather than wrongly.
+
+    cfg (optional) validates the columns against the table's declared
+    schema up front; without it, per-chunk coverage/type violations still
+    fail typed inside the kernel."""
+    cols = tuple(dict.fromkeys(columns))
+    if not cols:
+        raise PipelineContractError("build_extras_index: no columns given")
+    if cfg is not None:
+        specs = dict(cfg.extra_specs())
+        for c in cols:
+            if c not in specs:
+                raise PipelineContractError(
+                    f"extras[{c}] is not declared in the config "
+                    f"(extra columns: {sorted(specs)})"
+                )
+            if specs[c] == "string":
+                raise PipelineContractError(
+                    f"extras[{c}] is a string column — zone maps index "
+                    "numeric extras only"
+                )
+    src = chunk_df.select("chunk_id", "crc32", "blob")
+    return src.mapInArrow(_make_index_kernel(cols), INDEX_SCHEMA)
+
+
+def _int_bounds(lo, hi, scale_digits: int) -> tuple[int | None, int | None]:
+    """Conservative unscaled-integer bounds for an int64/decimal envelope
+    test: lo floors, hi ceils (wider candidacy is safe; the exact filter
+    after decode applies the true predicate). Exact Decimal arithmetic —
+    float rounding here could wrongly exclude a chunk."""
+    q = Decimal(10) ** scale_digits
+
+    def _d(x) -> Decimal:
+        return x if isinstance(x, Decimal) else Decimal(str(x))
+
+    lo_b = None if lo is None else int(math.floor(_d(lo) * q))
+    hi_b = None if hi is None else int(math.ceil(_d(hi) * q))
+    return lo_b, hi_b
+
+
+def filter_chunks_by_extras(
+    chunk_df: DataFrame,
+    index_df: DataFrame,
+    column: str,
+    lo=None,
+    hi=None,
+    etype: str | None = None,
+    max_collected: int = _MAX_COLLECTED,
+) -> DataFrame:
+    """Chunk-skip pushdown for a range predicate on an extra column, using
+    an advisory build_extras_index table. Returns the CANDIDATE chunk rows
+    (data-skipping contract: kept chunks may hold non-matching docs; apply
+    the exact predicate after decode — decode_where composes both).
+
+    Candidates = envelope-overlapping index entries whose (chunk_id,
+    crc32) still matches the table, plus every chunk the index does not
+    describe (stale/missing entries degrade to no-pruning, never to wrong
+    data). etype: the column's declared type; omitted -> read from the
+    index (one tiny distinct job)."""
+    if lo is None and hi is None:
+        return chunk_df
+    idx = index_df.where(F.col("column") == F.lit(column))
+    if etype is None:
+        ets = sorted(
+            r["etype"] for r in idx.select("etype").distinct().collect()
+        )
+        if not ets:
+            raise PipelineContractError(
+                f"index has no rows for column {column!r}"
+            )
+        if len(ets) > 1:
+            raise PipelineContractError(
+                f"index rows for {column!r} disagree on etype: {ets} — "
+                "was the index unioned across incompatible tables?"
+            )
+        etype = ets[0]
+    dp = decimal_params(etype)
+    if etype == "int64" or dp is not None:
+        lo_b, hi_b = _int_bounds(lo, hi, dp[1] if dp is not None else 0)
+        vmin, vmax = F.col("vmin_int"), F.col("vmax_int")
+        nan_keeps = F.lit(False)
+    elif etype in ("float32", "float64"):
+        lo_b = None if lo is None else float(lo)
+        hi_b = None if hi is None else float(hi)
+        vmin, vmax = F.col("vmin_flt"), F.col("vmax_flt")
+        # Spark orders NaN above every value: a NaN element satisfies
+        # `x >= lo` but never `x <= hi`
+        nan_keeps = F.col("has_nan") & F.lit(hi is None)
+    else:
+        raise PipelineContractError(
+            f"extras[{column}] etype {etype!r} is not range-filterable"
+        )
+    overlap = F.lit(True)
+    if lo_b is not None:
+        overlap = overlap & (vmax >= F.lit(lo_b))
+    if hi_b is not None:
+        overlap = overlap & (vmin <= F.lit(hi_b))
+    # null bounds (empty / all-NaN column in the chunk) -> null overlap ->
+    # not a candidate: such a chunk has no element to match
+    keep = F.coalesce(overlap, F.lit(False)) | nan_keeps
+    cand_idx = idx.where(keep).select(
+        F.col("chunk_id").alias("__zx_id"), F.col("crc32").alias("__zx_crc")
+    )
+    known = idx.select(
+        F.col("chunk_id").alias("__zx_id"), F.col("crc32").alias("__zx_crc")
+    )
+    meta = chunk_df.select("chunk_id", "crc32")
+    on = (F.col("chunk_id") == F.col("__zx_id")) & (
+        F.col("crc32") == F.col("__zx_crc")
+    )
+    # chunks the index does not describe under their CURRENT bytes
+    unknown = meta.join(known, on, "left_anti").select("chunk_id")
+    passing = meta.join(cand_idx, on, "left_semi").select("chunk_id")
+    cand = passing.unionByName(unknown).distinct()
+    ids = [r["chunk_id"] for r in cand.limit(max_collected + 1).collect()]
+    if not ids:
+        return chunk_df.limit(0)
+    if len(ids) <= max_collected:
+        # driver-collected In() reaches the parquet row-group stats:
+        # skipped chunks' blob bytes are never read
+        return chunk_df.where(F.col("chunk_id").isin(ids))
+    return chunk_df.join(
+        cand.withColumnRenamed("chunk_id", "__zx_id"),
+        F.col("chunk_id") == F.col("__zx_id"),
+        "left_semi",
+    )
+
+
+def decode_where(
+    chunk_df: DataFrame,
+    index_df: DataFrame,
+    column: str,
+    lo=None,
+    hi=None,
+    columns: list[str] | None = None,
+    cfg=None,
+    max_collected: int = _MAX_COLLECTED,
+) -> DataFrame:
+    """Decode exactly the documents where ANY element of `column` lies in
+    [lo, hi] (either bound optional, both inclusive), pruning non-
+    candidate chunks through the zone-map index before any blob is
+    decoded. Equal to decode_tokens + exact filter by construction (the
+    envelope test is conservative; the exact predicate runs after
+    decode). cfg is required — it declares the column's type, which
+    drives both the envelope arithmetic and the row-level predicate."""
+    from copybook_rs_spark.operators.decode import (
+        _resolve_columns,
+        decode_tokens,
+    )
+
+    if cfg is None:
+        raise PipelineContractError(
+            "decode_where needs the table's EncodeConfig (extras types)"
+        )
+    specs = dict(cfg.extra_specs())
+    if column not in specs:
+        raise PipelineContractError(
+            f"extras[{column}] is not declared in the config "
+            f"(extra columns: {sorted(specs)})"
+        )
+    etype = specs[column]
+    pruned = filter_chunks_by_extras(
+        chunk_df,
+        index_df,
+        column,
+        lo=lo,
+        hi=hi,
+        etype=etype,
+        max_collected=max_collected,
+    )
+    want = list(_resolve_columns(columns, cfg))
+    dec_cols = (
+        None if columns is None else list(dict.fromkeys([*columns, column]))
+    )
+    dec = decode_tokens(pruned, columns=dec_cols, cfg=cfg)
+    if decimal_params(etype) is not None:
+        c = F.col(column)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (c >= F.lit(_as_decimal(lo)))
+        if hi is not None:
+            cond = cond & (c <= F.lit(_as_decimal(hi)))
+    else:
+
+        def _elem(e):
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (e >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (e <= F.lit(hi))
+            return cond
+
+        cond = F.exists(F.col(column), _elem)
+    return dec.where(cond).select(*want)
+
+
+def _as_decimal(x) -> Decimal:
+    return x if isinstance(x, Decimal) else Decimal(str(x))
