@@ -17,6 +17,7 @@ Python anywhere.
 
 from __future__ import annotations
 
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -62,6 +63,7 @@ CHUNK_SCHEMA = StructType(
         StructField("n_runs", LongType(), False),
         StructField("first_doc_id", StringType(), False),
         StructField("crc32", LongType(), False),
+        StructField("blob_crc", LongType(), False),
         StructField("schema_fp", StringType(), False),
         StructField("blob", BinaryType(), False),
     ]
@@ -84,6 +86,7 @@ _CHUNK_PA_SCHEMA = pa.schema(
         ("n_runs", pa.int64()),
         ("first_doc_id", pa.string()),
         ("crc32", pa.int64()),
+        ("blob_crc", pa.int64()),
         ("schema_fp", pa.string()),
         ("blob", pa.binary()),
     ]
@@ -238,6 +241,12 @@ def chunk_row(
         "n_runs": int(s.n_runs),
         "first_doc_id": first_doc,
         "crc32": int(info["crc32"]),
+        # crc over EVERY blob byte (== Spark's F.crc32(blob), both are
+        # standard CRC-32): the body crc above is byte-stable across
+        # extras-tail rewrites BY DESIGN, so content-addressed metadata
+        # (the extras zone-map index) must key on this one instead.
+        # Maintained by every in-repo writer (this fn + extras._rebuilt_row)
+        "blob_crc": zlib.crc32(b) & 0xFFFFFFFF,
         "schema_fp": cfg.fingerprint,
         "blob": b,
     }

@@ -35,6 +35,8 @@ from dataclasses import replace
 from collections.abc import Iterator
 
 import numpy as np
+import zlib
+
 import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
@@ -184,17 +186,23 @@ def _check_schema_fp(op: str, name: str, cid: str, fp: str, want: str) -> None:
 
 def _rebuilt_row(cols, i, new_blob: bytes, raw_delta: int, new_fp: str) -> dict:
     """Chunk row with a rewritten blob: everything passes through except
-    the blob itself, its byte accounting, and the schema fingerprint —
-    one definition shared by the append and drop kernels."""
+    the blob itself, its byte accounting, its full-blob crc, and the
+    schema fingerprint — one definition shared by the append and drop
+    kernels. blob_crc MUST be recomputed here: a tail rewrite keeps the
+    body crc (that stability is the feature) and can even keep enc_bytes,
+    and blob_crc is what content-addressed metadata (the extras zone-map
+    index) keys on."""
     row = {
         f.name: cols[f.name][i].as_py()
         for f in _CHUNK_PA_SCHEMA
-        if f.name not in ("blob", "enc_bytes", "raw_bytes", "schema_fp")
+        if f.name
+        not in ("blob", "enc_bytes", "raw_bytes", "schema_fp", "blob_crc")
     }
     row["blob"] = new_blob
     row["enc_bytes"] = len(new_blob)
     row["raw_bytes"] = int(cols["raw_bytes"][i].as_py()) + raw_delta
     row["schema_fp"] = new_fp
+    row["blob_crc"] = zlib.crc32(new_blob) & 0xFFFFFFFF
     return row
 
 

@@ -9,14 +9,20 @@ every chunk. This module adds an ADVISORY secondary index:
    ONLY the indexed columns' payloads (`blob.decode_extras` walks skipped
    columns as pointer arithmetic — token sections are never touched), and
    emits per-(chunk, column) min/max envelopes keyed by
-   ``(chunk_id, crc32)``.
+   ``(chunk_id, blob_crc)``.
 
 2. **Prune** (`filter_chunks_by_extras`): candidates = chunks whose
    envelope overlaps the requested range, UNION chunks the index does not
-   describe — a chunk rewritten in place (mutation, extras append) changes
-   its crc32, so its stale index row simply stops matching and the chunk
-   falls back to candidacy. The index can therefore PRUNE but never LIE:
-   no invalidation protocol, no staleness window. Small candidate sets are
+   describe — a chunk rewritten in place changes its blob_crc, so its
+   stale index row simply stops matching and the chunk falls back to
+   candidacy. The index can therefore PRUNE but never LIE: no
+   invalidation protocol, no staleness window. The key is the FULL-blob
+   crc, not the chunk table's body ``crc32``: extras-tail rewrites
+   (append/drop_extra_column) keep the body crc byte-stable by design —
+   and they change exactly the values this index summarizes (the same
+   hole the decode-resume membership fingerprint closed with a full-blob
+   crc sum, operators/decode.py). blob_crc is recomputed from the actual
+   bytes by every in-repo writer (encode.chunk_row, extras._rebuilt_row). Small candidate sets are
    collected and pushed into the parquet scan as an ``In(chunk_id)``
    filter (the lookup_docs contract: skipped blobs are never read);
    large ones fall back to a semi-join (blobs read, never decoded).
@@ -59,12 +65,14 @@ from pyspark.sql.types import (
 
 from copybook_rs_spark import blob as blob_mod
 from copybook_rs_spark.config import decimal_params
+import zlib
+
 from copybook_rs_spark.errors import PipelineContractError, TruncatedBlobError
 
 INDEX_SCHEMA = StructType(
     [
         StructField("chunk_id", StringType(), False),
-        StructField("crc32", LongType(), False),
+        StructField("blob_crc", LongType(), False),
         StructField("column", StringType(), False),
         StructField("etype", StringType(), False),
         # exact typed bounds: int64/decimal(unscaled) use the _int pair,
@@ -82,7 +90,7 @@ INDEX_SCHEMA = StructType(
 _INDEX_PA = pa.schema(
     [
         ("chunk_id", pa.string()),
-        ("crc32", pa.int64()),
+        ("blob_crc", pa.int64()),
         ("column", pa.string()),
         ("etype", pa.string()),
         ("vmin_int", pa.int64()),
@@ -106,7 +114,7 @@ def _make_index_kernel(cols: tuple[str, ...]):
 
         for batch in batches:
             ids = batch.column("chunk_id").to_pylist()
-            crcs = batch.column("crc32").to_pylist()
+            crcs = batch.column("blob_crc").to_pylist()
             boff, raw = _binary_views(batch.column("blob"))
             base = raw.data
             out: dict[str, list] = {f.name: [] for f in _INDEX_PA}
@@ -114,6 +122,22 @@ def _make_index_kernel(cols: tuple[str, ...]):
                 mv = base[boff[i] : boff[i + 1]]
                 if len(mv) < blob_mod.HEADER_LEN:
                     raise TruncatedBlobError("blob shorter than header")
+                # the prune joins the STORED blob_crc column against this
+                # index — a stale column (a writer that rewrote bytes but
+                # passed the old crc through) would make a stale envelope
+                # keep matching, i.e. the index would LIE. The build holds
+                # every byte anyway, so certify the invariant here: any
+                # out-of-contract writer is caught at the next index build
+                # instead of producing wrong pruning forever.
+                actual = zlib.crc32(mv) & 0xFFFFFFFF
+                if actual != int(crcs[i]):
+                    raise PipelineContractError(
+                        f"chunk {ids[i]}: stored blob_crc {int(crcs[i])} "
+                        f"!= crc32 of actual blob bytes {actual} — the "
+                        "chunk table's blob_crc column is stale (every "
+                        "in-repo writer maintains it; was the table "
+                        "edited out-of-band?)"
+                    )
                 n_rows = blob_mod._HEADER.unpack_from(mv)[3]
                 ex = blob_mod.decode_extras(mv, n_rows, names=want)
                 missing = want - set(ex)
@@ -145,7 +169,7 @@ def _make_index_kernel(cols: tuple[str, ...]):
                             vmin_i = int(vals.min())
                             vmax_i = int(vals.max())
                     out["chunk_id"].append(ids[i])
-                    out["crc32"].append(int(crcs[i]))
+                    out["blob_crc"].append(int(crcs[i]))
                     out["column"].append(c)
                     out["etype"].append(etype)
                     out["vmin_int"].append(vmin_i)
@@ -166,7 +190,7 @@ def build_extras_index(
     numeric extra columns. One blob scan; only the indexed columns'
     payloads are decompressed. Persist the result next to the table
     (plain parquet) and reuse it across queries — entries are keyed by
-    (chunk_id, crc32), so rewritten chunks age out of the index safely
+    (chunk_id, blob_crc), so rewritten chunks age out of the index safely
     (they become unknown -> always candidates) rather than wrongly.
 
     cfg (optional) validates the columns against the table's declared
@@ -188,7 +212,7 @@ def build_extras_index(
                     f"extras[{c}] is a string column — zone maps index "
                     "numeric extras only"
                 )
-    src = chunk_df.select("chunk_id", "crc32", "blob")
+    src = chunk_df.select("chunk_id", "blob_crc", "blob")
     return src.mapInArrow(_make_index_kernel(cols), INDEX_SCHEMA)
 
 
@@ -222,27 +246,36 @@ def filter_chunks_by_extras(
     the exact predicate after decode — decode_where composes both).
 
     Candidates = envelope-overlapping index entries whose (chunk_id,
-    crc32) still matches the table, plus every chunk the index does not
+    blob_crc) still matches the table, plus every chunk the index does not
     describe (stale/missing entries degrade to no-pruning, never to wrong
-    data). etype: the column's declared type; omitted -> read from the
-    index (one tiny distinct job)."""
+    data). etype: the column's declared type; always cross-checked against
+    the index rows' stored etype (one tiny distinct job over index
+    metadata): a misdeclared type would read the wrong bounds pair —
+    all-NULL — and silently prune every indexed chunk, and an index that
+    never covered the column would silently degrade to a full decode;
+    both fail typed instead."""
     if lo is None and hi is None:
         return chunk_df
     idx = index_df.where(F.col("column") == F.lit(column))
-    if etype is None:
-        ets = sorted(
-            r["etype"] for r in idx.select("etype").distinct().collect()
+    ets = sorted(
+        r["etype"] for r in idx.select("etype").distinct().collect()
+    )
+    if not ets:
+        raise PipelineContractError(
+            f"index has no rows for column {column!r} — was it built "
+            "with this column? (build_extras_index)"
         )
-        if not ets:
-            raise PipelineContractError(
-                f"index has no rows for column {column!r}"
-            )
-        if len(ets) > 1:
-            raise PipelineContractError(
-                f"index rows for {column!r} disagree on etype: {ets} — "
-                "was the index unioned across incompatible tables?"
-            )
-        etype = ets[0]
+    if len(ets) > 1:
+        raise PipelineContractError(
+            f"index rows for {column!r} disagree on etype: {ets} — "
+            "was the index unioned across incompatible tables?"
+        )
+    if etype is not None and etype != ets[0]:
+        raise PipelineContractError(
+            f"extras[{column}]: declared etype {etype!r} does not match "
+            f"the index's {ets[0]!r} — wrong cfg for this table?"
+        )
+    etype = ets[0]
     dp = decimal_params(etype)
     if etype == "int64" or dp is not None:
         lo_b, hi_b = _int_bounds(lo, hi, dp[1] if dp is not None else 0)
@@ -268,14 +301,14 @@ def filter_chunks_by_extras(
     # not a candidate: such a chunk has no element to match
     keep = F.coalesce(overlap, F.lit(False)) | nan_keeps
     cand_idx = idx.where(keep).select(
-        F.col("chunk_id").alias("__zx_id"), F.col("crc32").alias("__zx_crc")
+        F.col("chunk_id").alias("__zx_id"), F.col("blob_crc").alias("__zx_crc")
     )
     known = idx.select(
-        F.col("chunk_id").alias("__zx_id"), F.col("crc32").alias("__zx_crc")
+        F.col("chunk_id").alias("__zx_id"), F.col("blob_crc").alias("__zx_crc")
     )
-    meta = chunk_df.select("chunk_id", "crc32")
+    meta = chunk_df.select("chunk_id", "blob_crc")
     on = (F.col("chunk_id") == F.col("__zx_id")) & (
-        F.col("crc32") == F.col("__zx_crc")
+        F.col("blob_crc") == F.col("__zx_crc")
     )
     # chunks the index does not describe under their CURRENT bytes
     unknown = meta.join(known, on, "left_anti").select("chunk_id")

@@ -302,19 +302,24 @@ def incremental_decode(
         if ldirs:
             # explicit schema: a crash can leave a footer-less raw ledger
             # dir, and schema inference over it would wedge every replay
-            seen = sp.read.schema("chunk_id string, crc32 long").parquet(
+            seen = sp.read.schema("chunk_id string, blob_crc long").parquet(
                 *ldirs
-            ).withColumnRenamed("crc32", "__seen_crc")
+            ).withColumnRenamed("blob_crc", "__seen_crc")
             j = batch.join(seen, "chunk_id", "left")
             # chunk_id is positional ({source}/{part}/{seq}), NOT content-
             # derived: a producer that appends two independent encode runs
             # can reuse ids for DIFFERENT chunks. Dropping those as
             # "already decoded" would be silent data loss — the ledger
-            # carries the chunk crc32, so an id reused with different
-            # content raises typed instead (review finding)
+            # carries the FULL-blob crc, so an id reused with different
+            # content raises typed instead (review finding). It must be
+            # blob_crc, not the body crc32: an extras-tail rewrite
+            # (append/drop_extra_column) keeps the body crc byte-stable
+            # while changing the extras this consumer may be decoding —
+            # under the body crc such a chunk would be silently dropped
+            # as already-decoded (stale extras, no error).
             collided = j.filter(
                 F.col("__seen_crc").isNotNull()
-                & (F.col("crc32") != F.col("__seen_crc"))
+                & (F.col("blob_crc") != F.col("__seen_crc"))
             )
             if collided.limit(1).count():
                 from copybook_rs_spark.errors import PipelineContractError
@@ -355,7 +360,7 @@ def incremental_decode(
             # and the replay converges (final exists -> staging dropped,
             # ledger then written)
             if dedup_ledger:
-                batch.select("chunk_id", "crc32").write.mode(
+                batch.select("chunk_id", "blob_crc").write.mode(
                     "overwrite"
                 ).parquet(os.path.join(ledger_root, tag))
                 if compact_ledger_every and batch_id % compact_ledger_every == (

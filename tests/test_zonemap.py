@@ -79,11 +79,11 @@ def test_index_stats_are_exact(chunks, index, tok_df):
     ).collect()[0]
     rp = tok_df.agg(F.min("price"), F.max("price")).collect()[0]
     assert (Decimal(gp[0]).scaleb(-2), Decimal(gp[1]).scaleb(-2)) == tuple(rp)
-    # one row per (chunk, column), keyed by the LIVE crc32
+    # one row per (chunk, column), keyed by the LIVE full-blob crc
     assert index.count() == 3 * chunks.count()
     assert (
         index.join(
-            chunks.select("chunk_id", "crc32"), ["chunk_id", "crc32"]
+            chunks.select("chunk_id", "blob_crc"), ["chunk_id", "blob_crc"]
         ).count()
         == index.count()
     )
@@ -137,8 +137,8 @@ def test_projection_keeps_requested_columns(chunks, index):
 
 def test_stale_index_never_lies(spark, chunks, index, tok_df):
     # rewrite some chunks (delete a key slice) but keep the OLD index:
-    # rewritten chunks' crc32 changed -> they are unknown to the index ->
-    # always candidates; results must still be exact against the NEW table
+    # rewritten chunks' blob_crc changed -> they are unknown to the index
+    # -> always candidates; results must be exact against the NEW table
     victims = [r["doc_id"] for r in tok_df.select("doc_id").orderBy(
         "doc_id").limit(25).collect()]
     mutated = delete_docs(chunks, victims, CFG).cache()
@@ -146,9 +146,9 @@ def test_stale_index_never_lies(spark, chunks, index, tok_df):
         # the rewrite really happened (some crcs differ from index rows)
         stale = mutated.join(
             index.where(F.col("column") == "aux").select(
-                "chunk_id", "crc32"
+                "chunk_id", "blob_crc"
             ),
-            ["chunk_id", "crc32"],
+            ["chunk_id", "blob_crc"],
             "left_anti",
         ).count()
         assert stale > 0
@@ -160,6 +160,53 @@ def test_stale_index_never_lies(spark, chunks, index, tok_df):
         assert _doc_ids(got) == _doc_ids(exp) != []
     finally:
         mutated.unpersist()
+
+
+def test_tail_rewrite_invalidates_index(spark, chunks, index, tok_df):
+    # THE case that forces the blob_crc key: append_extra_column rewrites
+    # only the extras tail — the body crc32 column stays byte-stable BY
+    # DESIGN — yet the rewritten blobs' extras change. Keyed on the body
+    # crc the stale index would keep matching (silent wrong pruning);
+    # keyed on the full-blob crc every rewritten chunk ages out.
+    from copybook_rs_spark.operators import append_extra_column
+    from copybook_rs_spark.operators.extras import widen_config
+
+    vals = tok_df.select("doc_id", F.lit(7).alias("value"))
+    appended = append_extra_column(chunks, vals, "tag", cfg=CFG).cache()
+    try:
+        # the hole: the BODY crc is byte-stable across the tail rewrite —
+        # every chunk's crc32 still equals the pre-append table's
+        old = chunks.select("chunk_id", F.col("crc32").alias("__old"))
+        assert (
+            appended.join(old, "chunk_id")
+            .where(F.col("crc32") != F.col("__old")).count() == 0
+        )
+        # the fix: the full-blob key no longer matches ANY rewritten chunk
+        idx_aux = index.where(F.col("column") == "aux")
+        full_match = appended.join(
+            idx_aux.select("chunk_id", "blob_crc"),
+            ["chunk_id", "blob_crc"],
+        ).count()
+        assert full_match == 0
+        # and pruning degrades to exact, never wrong, with the OLD index
+        wide = widen_config(CFG, "tag")
+        got = decode_where(appended, index, "aux", lo=1000, hi=3000, cfg=wide)
+        exp = decode_tokens(appended, cfg=wide).where(
+            F.exists("aux", lambda e: (e >= F.lit(1000)) & (e <= F.lit(3000)))
+        )
+        assert _doc_ids(got) == _doc_ids(exp) != []
+    finally:
+        appended.unpersist()
+
+
+def test_stale_blob_crc_column_fails_typed(chunks):
+    # a writer that rewrites blob bytes but passes the old blob_crc through
+    # is out of contract; the index build holds every byte and must refuse
+    forged = chunks.withColumn(
+        "blob_crc", (F.col("blob_crc") + F.lit(1)) % F.lit(2**32)
+    )
+    with pytest.raises(Exception, match="stale"):
+        build_extras_index(forged, ["aux"], cfg=CFG).collect()
 
 
 def test_nan_semantics(spark):
