@@ -64,6 +64,25 @@ _MAX_COLLECTED = 100_000
 _SEARCH_BLOCK = 1 << 16
 
 
+def prune_to_candidates(
+    chunk_df: DataFrame, cand: DataFrame, max_collected: int = _MAX_COLLECTED
+) -> DataFrame:
+    """Push a candidate chunk_id set into the chunk table's scan — the one
+    place the collect-vs-semijoin pushdown policy lives (lookup_docs and
+    the extras zone map both prune through it). Small sets are collected
+    into a driver-side In() filter that reaches the parquet row-group
+    stats, so skipped chunks' blob bytes are never read; sets past
+    max_collected stay distributed as a left-semi join (blobs read, never
+    decoded). cand: any DataFrame with a chunk_id column."""
+    cand = cand.select("chunk_id")
+    ids = [r["chunk_id"] for r in cand.limit(max_collected + 1).collect()]
+    if not ids:
+        return chunk_df.limit(0)
+    if len(ids) <= max_collected:
+        return chunk_df.where(F.col("chunk_id").isin(ids))
+    return chunk_df.join(cand, "chunk_id", "left_semi")
+
+
 def recover_salt_plan(
     chunk_df: DataFrame,
     max_salt: int = 1 << 21,
@@ -285,15 +304,7 @@ def lookup_docs(
     if salts is None:
         salts = recover_salt_plan(chunk_df)
     cand = candidate_chunk_ids(chunk_df, kdf, salts=salts, validate=validate)
-    ids = [r["chunk_id"] for r in cand.limit(max_collected + 1).collect()]
-    if not ids:
-        pruned = chunk_df.limit(0)
-    elif len(ids) <= max_collected:
-        # driver-collected In() filter reaches the parquet row-group stats:
-        # skipped chunks' blob bytes are never read
-        pruned = chunk_df.where(F.col("chunk_id").isin(ids))
-    else:
-        pruned = chunk_df.join(cand, "chunk_id", "left_semi")
+    pruned = prune_to_candidates(chunk_df, cand, max_collected)
     want = list(_resolve_columns(columns, cfg))
     dec_cols = (
         None

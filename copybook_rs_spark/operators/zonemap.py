@@ -68,6 +68,10 @@ from copybook_rs_spark.config import decimal_params
 import zlib
 
 from copybook_rs_spark.errors import PipelineContractError, TruncatedBlobError
+from copybook_rs_spark.operators.lookup import (
+    _MAX_COLLECTED,
+    prune_to_candidates,
+)
 
 INDEX_SCHEMA = StructType(
     [
@@ -102,10 +106,6 @@ _INDEX_PA = pa.schema(
     ]
 )
 
-# same collected-candidate cap contract as operators/lookup.py
-_MAX_COLLECTED = 100_000
-
-
 def _make_index_kernel(cols: tuple[str, ...]):
     want = set(cols)
 
@@ -129,6 +129,16 @@ def _make_index_kernel(cols: tuple[str, ...]):
                 # every byte anyway, so certify the invariant here: any
                 # out-of-contract writer is caught at the next index build
                 # instead of producing wrong pruning forever.
+                if crcs[i] is None:
+                    # a schema-reconciled read of a pre-blob_crc table
+                    # null-fills the column; indexing it would emit NULL
+                    # keys that can never match the prune join
+                    raise PipelineContractError(
+                        f"chunk {ids[i]}: blob_crc is NULL — the chunk "
+                        "table predates the blob_crc column (re-encode, "
+                        "or backfill crc32 over the blob bytes) before "
+                        "building a zone-map index over it"
+                    )
                 actual = zlib.crc32(mv) & 0xFFFFFFFF
                 if actual != int(crcs[i]):
                     raise PipelineContractError(
@@ -314,18 +324,7 @@ def filter_chunks_by_extras(
     unknown = meta.join(known, on, "left_anti").select("chunk_id")
     passing = meta.join(cand_idx, on, "left_semi").select("chunk_id")
     cand = passing.unionByName(unknown).distinct()
-    ids = [r["chunk_id"] for r in cand.limit(max_collected + 1).collect()]
-    if not ids:
-        return chunk_df.limit(0)
-    if len(ids) <= max_collected:
-        # driver-collected In() reaches the parquet row-group stats:
-        # skipped chunks' blob bytes are never read
-        return chunk_df.where(F.col("chunk_id").isin(ids))
-    return chunk_df.join(
-        cand.withColumnRenamed("chunk_id", "__zx_id"),
-        F.col("chunk_id") == F.col("__zx_id"),
-        "left_semi",
-    )
+    return prune_to_candidates(chunk_df, cand, max_collected)
 
 
 def decode_where(

@@ -44,6 +44,16 @@ from copybook_rs_spark.sources.manifest import (
 
 _RAW_PREFIX = "batch=b"
 _CONS_PREFIX = "batch=c~b"  # consolidated part covering every batch <= id
+# decode-dedup ledger schema: ONE definition shared by the per-trigger
+# read, the per-batch write, and compaction — compaction folding mixed-
+# schema dirs through inference could otherwise drop the crc column
+_LEDGER_SCHEMA = "chunk_id string, blob_crc long"
+_NULL_BLOB_CRC_MSG = (
+    "incremental_decode: batch contains chunks with NULL blob_crc — the "
+    "watched chunk table predates the blob_crc column (re-encode it, or "
+    "backfill crc32 over the blob bytes); decoding anyway would leave the "
+    "dedup ledger unable to certify content"
+)
 
 
 def _live_part_dirs(spark: SparkSession, root: str) -> list[str]:
@@ -123,14 +133,27 @@ def compact_decode_ledger(
     """Same fold for incremental_decode's chunk_id ledger: without it a
     long-lived stream accumulates one ledger directory per micro-batch and
     the per-trigger anti-join scan pays an ever-growing listing. Row-union
-    semantics make compaction invisible to the dedup check."""
-    return _compact_parts_dir(spark, os.path.join(out_dir, "ledger"), keep_last)
+    semantics make compaction invisible to the dedup check. The explicit
+    schema matters: folding mixed-era ledger dirs through inference
+    (mergeSchema is off) can take the schema from a pre-blob_crc file and
+    silently DROP the crc of every newer entry — with it, legacy entries
+    fold as NULL blob_crc and the per-trigger legacy guard raises typed."""
+    return _compact_parts_dir(
+        spark,
+        os.path.join(out_dir, "ledger"),
+        keep_last,
+        schema=_LEDGER_SCHEMA,
+    )
 
 
-def _compact_parts_dir(spark: SparkSession, root: str, keep_last: int) -> int:
+def _compact_parts_dir(
+    spark: SparkSession, root: str, keep_last: int, schema: str | None = None
+) -> int:
     """Shared supersede-at-read compactor for batch=b... part directories
-    (manifest parts, decode ledger): schema-agnostic row-union into a
-    _SUCCESS-gated consolidated dir, crash-safe cleanup."""
+    (manifest parts, decode ledger): row-union into a _SUCCESS-gated
+    consolidated dir, crash-safe cleanup. schema: explicit read schema
+    when the dirs' files may disagree (inference picks one arbitrary
+    footer); None infers."""
     from copybook_rs_spark.operators.decode import _hadoop_path
 
     live = _live_part_dirs(spark, root)
@@ -141,8 +164,9 @@ def _compact_parts_dir(spark: SparkSession, root: str, keep_last: int) -> int:
     cons = [d for d in live if os.path.basename(d).startswith(_CONS_PREFIX)]
     cover = os.path.basename(fold_raw[-1])[len(_RAW_PREFIX) :]
     target = os.path.join(root, f"{_CONS_PREFIX}{cover}")
+    reader = spark.read if schema is None else spark.read.schema(schema)
     # the folded row count is O(batches x groups) — tiny; one output file
-    spark.read.parquet(*(cons + fold_raw)).coalesce(1).write.mode(
+    reader.parquet(*(cons + fold_raw)).coalesce(1).write.mode(
         "overwrite"
     ).parquet(target)
     # best-effort cleanup through the Hadoop FS (any filesystem): the
@@ -299,12 +323,22 @@ def incremental_decode(
         jpath = sp._jvm.org.apache.hadoop.fs.Path
         batch = batch_df
         ldirs = _live_part_dirs(sp, ledger_root) if dedup_ledger else []
+        from copybook_rs_spark.errors import PipelineContractError
+
         if ldirs:
             # explicit schema: a crash can leave a footer-less raw ledger
-            # dir, and schema inference over it would wedge every replay
-            seen = sp.read.schema("chunk_id string, blob_crc long").parquet(
-                *ldirs
-            ).withColumnRenamed("blob_crc", "__seen_crc")
+            # dir, and schema inference over it would wedge every replay.
+            # The __seen marker (vs testing __seen_crc for null) separates
+            # "not in the ledger" from "in the ledger with a NULL crc" —
+            # the latter is a legacy crc32-keyed ledger file that the
+            # explicit schema null-fills, and treating it as unseen would
+            # silently disable both dedup and collision detection.
+            seen = (
+                sp.read.schema(_LEDGER_SCHEMA)
+                .parquet(*ldirs)
+                .withColumnRenamed("blob_crc", "__seen_crc")
+                .withColumn("__seen", F.lit(True))
+            )
             j = batch.join(seen, "chunk_id", "left")
             # chunk_id is positional ({source}/{part}/{seq}), NOT content-
             # derived: a producer that appends two independent encode runs
@@ -317,20 +351,40 @@ def incremental_decode(
             # while changing the extras this consumer may be decoding —
             # under the body crc such a chunk would be silently dropped
             # as already-decoded (stale extras, no error).
-            collided = j.filter(
-                F.col("__seen_crc").isNotNull()
-                & (F.col("blob_crc") != F.col("__seen_crc"))
-            )
-            if collided.limit(1).count():
-                from copybook_rs_spark.errors import PipelineContractError
-
+            flag = lambda c: F.max(c.cast("int"))  # noqa: E731
+            probe = j.agg(
+                flag(F.col("blob_crc").isNull()).alias("null_batch"),
+                flag(
+                    F.col("__seen").isNotNull() & F.col("__seen_crc").isNull()
+                ).alias("legacy_ledger"),
+                flag(
+                    F.col("__seen_crc").isNotNull()
+                    & (F.col("blob_crc") != F.col("__seen_crc"))
+                ).alias("collided"),
+            ).collect()[0]
+            if probe["null_batch"]:
+                raise PipelineContractError(_NULL_BLOB_CRC_MSG)
+            if probe["legacy_ledger"]:
+                raise PipelineContractError(
+                    "incremental_decode: ledger entries lack blob_crc — a "
+                    "ledger written before the blob_crc column (keyed by "
+                    "the body crc32) cannot certify chunk content; "
+                    "re-create the stream against a fresh out_dir (or "
+                    "rewrite the ledger dirs with blob_crc) rather than "
+                    "silently losing exactly-once"
+                )
+            if probe["collided"]:
                 raise PipelineContractError(
                     "incremental_decode: a chunk_id arrived with DIFFERENT "
                     "content than the ledger recorded — the watched table "
                     "violates table-wide chunk_id uniqueness (prefix batch "
                     "appends, as the streaming encode sink does)"
                 )
-            batch = j.filter(F.col("__seen_crc").isNull()).drop("__seen_crc")
+            batch = j.filter(F.col("__seen").isNull()).drop(
+                "__seen_crc", "__seen"
+            )
+        elif batch.where(F.col("blob_crc").isNull()).limit(1).count():
+            raise PipelineContractError(_NULL_BLOB_CRC_MSG)
         batch = batch.persist()
         try:
             if batch.isEmpty():

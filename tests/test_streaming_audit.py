@@ -872,6 +872,120 @@ def test_incremental_decode_chunk_id_collision_raises(spark, tmp_path):
     )
 
 
+def test_incremental_decode_legacy_ledger_refuses(spark, tmp_path):
+    # review finding: a ledger written before the blob_crc column (keyed
+    # by the body crc32) null-fills under the explicit read schema; were
+    # NULL treated as "unseen", a producer rewrite would re-decode every
+    # legacy chunk (silent duplicates) and the id-collision guard would be
+    # dead for them — must refuse typed instead
+    import os
+
+    from copybook_rs_spark.streaming.incremental import incremental_decode
+
+    df = synthetic_tokens(spark, "mixed", 200).cache()
+    chunks = encode_tokens(df, CFG).cache()
+    chunks_dir = str(tmp_path / "chunks")
+    out_dir = str(tmp_path / "dectok")
+    chunks.write.mode("append").parquet(chunks_dir)
+    q = incremental_decode(spark, chunks_dir, out_dir, CFG)
+    q.awaitTermination(120)
+    # rewrite the committed ledger dir in the LEGACY shape (body crc32)
+    ledger_root = os.path.join(out_dir, "ledger")
+    (tag,) = os.listdir(ledger_root)
+    ldir = os.path.join(ledger_root, tag)
+    legacy = (
+        spark.read.parquet(ldir)
+        .withColumnRenamed("blob_crc", "crc32")
+        .collect()
+    )
+    spark.createDataFrame(legacy).write.mode("overwrite").parquet(ldir)
+    # producer rewrite re-delivers the same chunks under new file names
+    chunks.write.mode("append").parquet(chunks_dir)
+    q2 = incremental_decode(spark, chunks_dir, out_dir, CFG)
+    with pytest.raises(Exception, match="blob_crc|Streaming") as ei:
+        q2.awaitTermination(120)
+        q2.processAllAvailable()
+    assert "lack blob_crc" in str(ei.value) or "lack blob_crc" in str(
+        q2.exception()
+    )
+    # and nothing was decoded twice
+    got = spark.read.parquet(os.path.join(out_dir, "tokens"))
+    assert got.count() == df.count()
+
+
+def test_incremental_decode_legacy_chunk_table_refuses(spark, tmp_path):
+    # a pre-blob_crc chunk table read through the explicit stream schema
+    # null-fills the column; the ledger could then never certify content —
+    # refuse typed up front rather than populate a NULL-keyed ledger
+    import os
+
+    from copybook_rs_spark.streaming.incremental import incremental_decode
+
+    df = synthetic_tokens(spark, "mixed", 120).cache()
+    chunks_dir = str(tmp_path / "chunks")
+    out_dir = str(tmp_path / "dectok")
+    encode_tokens(df, CFG).drop("blob_crc").write.mode("append").parquet(
+        chunks_dir
+    )
+    q = incremental_decode(spark, chunks_dir, out_dir, CFG)
+    with pytest.raises(Exception, match="blob_crc|Streaming") as ei:
+        q.awaitTermination(120)
+        q.processAllAvailable()
+    assert "NULL blob_crc" in str(ei.value) or "NULL blob_crc" in str(
+        q.exception()
+    )
+    assert not os.path.exists(os.path.join(out_dir, "tokens"))
+
+
+def test_decode_ledger_compaction_keeps_blob_crc(spark, tmp_path):
+    # review finding: compaction folds dirs with spark.read.parquet and
+    # mergeSchema off — over mixed-era dirs, inference may pick a legacy
+    # footer and silently DROP blob_crc for every newer entry. The
+    # explicit-schema fold must preserve every new entry's crc.
+    import os
+
+    from copybook_rs_spark.streaming.incremental import (
+        compact_decode_ledger,
+        incremental_decode,
+    )
+
+    df = synthetic_tokens(spark, "mixed", 200).cache()
+    chunks = encode_tokens(df, CFG).cache()
+    chunks_dir = str(tmp_path / "chunks")
+    out_dir = str(tmp_path / "dectok")
+    for i in range(2):
+        chunks.filter(F.pmod(F.xxhash64("chunk_id"), F.lit(2)) == i).withColumn(
+            "chunk_id", F.concat(F.lit(f"p{i}/"), F.col("chunk_id"))
+        ).write.mode("append").parquet(chunks_dir)
+        q = incremental_decode(spark, chunks_dir, out_dir, CFG)
+        q.awaitTermination(120)
+    # rewrite the FIRST ledger dir in the legacy shape (body crc32, no
+    # blob_crc): it sorts first, so schema inference starting from its
+    # footer would shed blob_crc for the whole fold
+    ledger_root = os.path.join(out_dir, "ledger")
+    ldir = os.path.join(ledger_root, "batch=b00000000")
+    n0 = spark.read.parquet(ldir).count()
+    legacy = (
+        spark.read.parquet(ldir)
+        .withColumnRenamed("blob_crc", "crc32")
+        .collect()
+    )
+    spark.createDataFrame(legacy).write.mode("overwrite").parquet(ldir)
+    folded = compact_decode_ledger(spark, out_dir, keep_last=0)
+    assert folded == 2
+    cons = [d for d in os.listdir(ledger_root) if d.startswith("batch=c~b")]
+    assert len(cons) == 1
+    out = spark.read.parquet(os.path.join(ledger_root, cons[0]))
+    assert "blob_crc" in out.columns
+    # every post-upgrade entry kept its crc; legacy rows fold as NULL
+    # (which the per-trigger guard then refuses typed)
+    assert out.where(F.col("blob_crc").isNull()).count() == n0
+    assert (
+        out.where(F.col("blob_crc").isNotNull()).count()
+        == chunks.count() - n0
+    )
+
+
 def test_decode_batch_env_validation(monkeypatch):
     # ADVICE r5 #4: malformed/non-positive batch-size env overrides fall
     # back to the default with a warning instead of raising on import or

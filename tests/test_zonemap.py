@@ -199,6 +199,15 @@ def test_tail_rewrite_invalidates_index(spark, chunks, index, tok_df):
         appended.unpersist()
 
 
+def test_null_blob_crc_fails_typed(chunks):
+    # a pre-blob_crc table read through a reconciling schema null-fills
+    # the column; indexing it would emit NULL keys that can never match
+    # the prune join — refuse typed, not a raw TypeError in the kernel
+    legacy = chunks.withColumn("blob_crc", F.lit(None).cast("long"))
+    with pytest.raises(Exception, match="NULL"):
+        build_extras_index(legacy, ["aux"], cfg=CFG).collect()
+
+
 def test_stale_blob_crc_column_fails_typed(chunks):
     # a writer that rewrites blob bytes but passes the old blob_crc through
     # is out of contract; the index build holds every byte and must refuse
