@@ -163,15 +163,41 @@ class ChunkStats:
         if n == 0:
             return cls(0, 0, 0, 0, 0, True, 0, 0)
         v = np.ascontiguousarray(vals, dtype=np.int64)
+        if n == 1:
+            # scalar fast path: every stat is trivially determined, and the
+            # general path below would still pay ~20 numpy calls plus an
+            # np.unique on ONE element (round-5.2 profile: 54 us/call,
+            # ~9% of analyze time on the driver profile). Field-for-field
+            # identical to what the general path returns for n == 1.
+            x = int(v[0])
+            zz_full = np.empty(1, dtype=np.uint64)
+            zz_full[0] = ((x << 1) ^ (x >> 63)) & 0xFFFFFFFFFFFFFFFF
+            return cls(
+                n=1, vmin=x, vmax=x, n_distinct=1, n_runs=1,
+                is_sorted=True, max_run_len=1, max_zz_delta=int(zz_full[0]),
+                zz_delta_p99=int(zz_full[0]), n_delta_runs=1,
+                mode_count=1 if deep else 0, mode_value=x if deep else 0,
+                _uniq=v if (deep and with_uniq) else None,
+                _run_break_idx=np.empty(0, dtype=np.int64),
+                _zz_full=zz_full,
+            )
         vmin = int(v.min())
         vmax = int(v.max())
         # modular (uint64) diffs: wrap-free even at int64 extremes
         vu = v.view(np.uint64)
         diffs_u = vu[1:] - vu[:-1]
         breaks = np.flatnonzero(diffs_u != 0)
-        n_runs = len(breaks) + 1
-        run_bounds = np.concatenate(([-1], breaks, [n - 1]))
-        max_run = int(np.diff(run_bounds).max())
+        nb = len(breaks)
+        n_runs = nb + 1
+        if nb == 0:
+            max_run = n  # one run
+        elif nb == n - 1:
+            max_run = 1  # run-free (every adjacent pair differs) — the
+            # common shape for nested residual streams; skips the
+            # concatenate/diff/max triple-pass below
+        else:
+            run_bounds = np.concatenate(([-1], breaks, [n - 1]))
+            max_run = int(np.diff(run_bounds).max())
         is_sorted = bool((v[1:] >= v[:-1]).all()) if n > 1 else True
         # lower bound on runs in the zigzag-delta stream (zigzag injective,
         # so runs(diffs) lower-bounds runs of the full [v0]+diffs stream)
@@ -654,10 +680,11 @@ def encode_array(
     # the structures they might miss (periodic/low-cardinality streams)
     # are exactly what patch/pfor capture directly. Deterministic either
     # way: every decision is a pure function of the data.
-    ordered = sorted(
-        (n for n in names),
-        key=lambda n: (est.get(n, 1 << 60), names.index(n)),
-    )
+    ordered = [
+        nm for _, _, nm in sorted(
+            (est.get(nm, 1 << 60), i, nm) for i, nm in enumerate(names)
+        )
+    ]
     best: bytes | None = None
     best_name = "plain"
     for name in ordered:
@@ -771,7 +798,10 @@ def estimate_sizes(s: ChunkStats) -> dict[str, int]:
         if k == 0:
             return 6
         plain = 6 + (4 * k if mx < 2**31 else 8 * k)
-        return min(plain, 6 + bp.packed_size(k, bp.bit_width(mx)))
+        # int.bit_length inlined (== bp.bit_width for the non-negative
+        # inputs this helper receives): this runs ~6x per encode_array call
+        # and the extra frame was visible in the round-5.2 profile
+        return min(plain, 6 + bp.packed_size(k, mx.bit_length()))
 
     est: dict[str, int] = {}
     est["plain"] = 1 + 6 + (4 * n if -(2**31) <= s.vmin and s.vmax < 2**31 else 8 * n)

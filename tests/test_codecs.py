@@ -470,3 +470,71 @@ def test_fsst_bucket_and_searchsorted_paths_identical():
             np.frombuffer(out_bucket, dtype=np.uint8), t_bucket, len(data)
         )
         np.testing.assert_array_equal(back, data)
+
+
+def test_analyze_fast_paths_match_brute_force():
+    # round-5.2 fast paths (n==1 scalar stats, run-free / single-run
+    # max_run gates, small-n pack tail) must be stat-for-stat identical
+    # to a brute-force reference — stats drive selection, so any drift
+    # here changes payload bytes (invariant 2)
+    import collections
+
+    rng = np.random.default_rng(11)
+    streams = []
+    for trial in range(300):
+        n = int(rng.integers(0, 6)) if trial % 3 == 0 else int(rng.integers(1, 200))
+        kind = trial % 5
+        if kind == 0:
+            streams.append(rng.integers(-1000, 1000, n))
+        elif kind == 1:
+            streams.append(np.sort(rng.integers(0, 50, n)))
+        elif kind == 2:
+            streams.append(np.repeat(rng.integers(0, 9, max(n // 3, 1)), 3)[:n])
+        elif kind == 3:
+            streams.append(rng.integers(-(2**62), 2**62, n))
+        else:
+            streams.append(np.full(n, int(rng.integers(-5, 5))))
+    # explicit edge shapes: the three max_run gate branches + n == 1
+    streams += [
+        np.array([], dtype=np.int64),
+        np.array([7]), np.array([-(2**63)]), np.array([2**63 - 1]),
+        np.full(100, 3),                      # one run
+        np.arange(100),                       # run-free
+        np.array([1, 1, 2, 3, 3, 3, 4]),      # mixed
+    ]
+    for v in streams:
+        vv = np.asarray(v, dtype=np.int64)
+        n = len(vv)
+        for deep in (True, False):
+            s = core.ChunkStats.analyze(vv, deep=deep)
+            if n == 0:
+                assert (s.n, s.n_runs, s.max_run_len) == (0, 0, 0)
+                continue
+            assert s.vmin == vv.min() and s.vmax == vv.max()
+            assert s.n_runs == 1 + int((vv[1:] != vv[:-1]).sum())
+            mr, cur = 1, 1
+            for i in range(1, n):
+                cur = cur + 1 if vv[i] == vv[i - 1] else 1
+                mr = max(mr, cur)
+            assert s.max_run_len == mr
+            if n > 1:
+                assert s.is_sorted == bool((vv[1:] >= vv[:-1]).all())
+            if deep:
+                c = collections.Counter(vv.tolist())
+                top = max(c.values())
+                assert s.mode_count == top
+                assert s.mode_value == min(k for k, ct in c.items() if ct == top)
+                assert s.n_distinct == len(c)
+            # the cached zigzag stream must decode back to the values
+            # (delta reuse contract)
+            if s._zz_full is not None:
+                zz = s._zz_full.view(np.int64)
+                dec = (zz.view(np.uint64) >> np.uint64(1)).view(np.int64) ^ -(
+                    zz & 1
+                )
+                rebuilt = np.cumsum(dec.view(np.uint64))  # modular
+                np.testing.assert_array_equal(
+                    rebuilt.view(np.int64), vv
+                )
+        enc, name = core.encode_array(vv, "auto")
+        np.testing.assert_array_equal(core.decode_array(enc), vv)
