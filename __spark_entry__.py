@@ -274,6 +274,49 @@ def _q_doc_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Needle-in-haystack membership over the ENCODED table
+    # (operators/token_index.py): build the per-chunk token-membership
+    # index (exact bitmaps here — the 50k vocabulary fits), then find
+    # every document containing token 1234 with its occurrence count,
+    # decoding only candidate chunks (pruning asserted: strict subset).
+    # The oracle recomputes membership straight from the token formula —
+    # a doc dropped by a wrong bitmap bit, a miscounted hit, or a crc
+    # mis-key anywhere in the prune path shows up as a row/value diff.
+    from copybook_rs_spark.operators import (
+        build_token_index,
+        docs_with_token,
+        filter_chunks_by_token,
+    )
+
+    token = 1212  # rarest sf0.001 token that persists at every sf
+    # smaller chunks than _CFG: membership here is a per-chunk property,
+    # and the driver corpus spreads each token's docs hash-uniformly over
+    # parts — at the default 16Ki-value chunks a few hundred matching
+    # docs already touch every chunk and the prune assertion below would
+    # be vacuous. 4Ki-value chunks (~128 docs) keep it meaningful.
+    cfg = EncodeConfig(chunk_values=4096, target_values_per_part=32_768)
+    tok = token_table(spark, sf_dir)
+    chunks = encode_tokens(tok, cfg).cache()
+    try:
+        index = build_token_index(chunks).cache()
+        n_cand = filter_chunks_by_token(chunks, index, token).count()
+        assert 0 < n_cand < chunks.count(), n_cand
+        rows = (
+            docs_with_token(chunks, index, token, cfg=cfg)
+            .select(
+                "doc_id", "source", F.col("n_hits").cast("bigint").alias("n_hits")
+            )
+            .collect()
+        )
+        index.unpersist()
+    finally:
+        chunks.unpersist()
+    return spark.createDataFrame(
+        rows, "doc_id string, source string, n_hits bigint"
+    )
+
+
 def _q_mutation_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Encoded-table mutation (operators/mutate.py): physically DELETE the
     # doc_23% slice, then UPSERT the doc_17% slice with every token +1 —
@@ -1004,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extras_evolution": _q_extras_evolution,
         "doc_lookup": _q_doc_lookup,
         "mutation_upsert": _q_mutation_upsert,
+        "token_search": _q_token_search,
         "extras_filter": _q_extras_filter,
         "manifest_agg": _q_manifest_agg,
         "topk_sources": _q_topk_sources,
@@ -1279,6 +1323,14 @@ def oracle_sql() -> dict[str, str]:
             FROM {_TOK}
             WHERE doc_id LIKE 'doc_17%'
             GROUP BY source
+        """,
+        "token_search": f"""
+            SELECT doc_id,
+                   source,
+                   CAST(len(list_filter(tokens, x -> x = 1212)) AS BIGINT)
+                     AS n_hits
+            FROM {_TOK}
+            WHERE list_contains(tokens, 1212)
         """,
         "mutation_upsert": f"""
             SELECT source,

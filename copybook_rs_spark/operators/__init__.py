@@ -24,6 +24,11 @@ from copybook_rs_spark.operators.mutate import (  # noqa: F401
     insert_docs,
     upsert_docs,
 )
+from copybook_rs_spark.operators.token_index import (  # noqa: F401
+    build_token_index,
+    docs_with_token,
+    filter_chunks_by_token,
+)
 from copybook_rs_spark.operators.verify import roundtrip_mismatches  # noqa: F401
 from copybook_rs_spark.operators.zonemap import (  # noqa: F401
     build_extras_index,

@@ -106,6 +106,35 @@ _INDEX_PA = pa.schema(
     ]
 )
 
+def certify_blob_crc(chunk_id, stored, mv) -> int:
+    """Certify that the chunk table's stored blob_crc matches the actual
+    blob bytes, returning the (int) crc. Every secondary index keys its
+    rows on blob_crc and trusts the STORED column at prune time — a stale
+    column would make a stale index row keep matching, i.e. the index
+    would LIE. Index builds hold every byte anyway, so the invariant is
+    certified here; any out-of-contract writer is caught at the next
+    build instead of producing wrong pruning forever. Shared by the
+    extras zone-map and token-membership index kernels."""
+    if stored is None:
+        # a schema-reconciled read of a pre-blob_crc table null-fills the
+        # column; indexing it would emit NULL keys that can never match
+        # the prune join
+        raise PipelineContractError(
+            f"chunk {chunk_id}: blob_crc is NULL — the chunk table "
+            "predates the blob_crc column (re-encode, or backfill crc32 "
+            "over the blob bytes) before building an index over it"
+        )
+    actual = zlib.crc32(mv) & 0xFFFFFFFF
+    if actual != int(stored):
+        raise PipelineContractError(
+            f"chunk {chunk_id}: stored blob_crc {int(stored)} != crc32 "
+            f"of actual blob bytes {actual} — the chunk table's blob_crc "
+            "column is stale (every in-repo writer maintains it; was the "
+            "table edited out-of-band?)"
+        )
+    return actual
+
+
 def _make_index_kernel(cols: tuple[str, ...]):
     want = set(cols)
 
@@ -122,32 +151,7 @@ def _make_index_kernel(cols: tuple[str, ...]):
                 mv = base[boff[i] : boff[i + 1]]
                 if len(mv) < blob_mod.HEADER_LEN:
                     raise TruncatedBlobError("blob shorter than header")
-                # the prune joins the STORED blob_crc column against this
-                # index — a stale column (a writer that rewrote bytes but
-                # passed the old crc through) would make a stale envelope
-                # keep matching, i.e. the index would LIE. The build holds
-                # every byte anyway, so certify the invariant here: any
-                # out-of-contract writer is caught at the next index build
-                # instead of producing wrong pruning forever.
-                if crcs[i] is None:
-                    # a schema-reconciled read of a pre-blob_crc table
-                    # null-fills the column; indexing it would emit NULL
-                    # keys that can never match the prune join
-                    raise PipelineContractError(
-                        f"chunk {ids[i]}: blob_crc is NULL — the chunk "
-                        "table predates the blob_crc column (re-encode, "
-                        "or backfill crc32 over the blob bytes) before "
-                        "building a zone-map index over it"
-                    )
-                actual = zlib.crc32(mv) & 0xFFFFFFFF
-                if actual != int(crcs[i]):
-                    raise PipelineContractError(
-                        f"chunk {ids[i]}: stored blob_crc {int(crcs[i])} "
-                        f"!= crc32 of actual blob bytes {actual} — the "
-                        "chunk table's blob_crc column is stale (every "
-                        "in-repo writer maintains it; was the table "
-                        "edited out-of-band?)"
-                    )
+                certify_blob_crc(ids[i], crcs[i], mv)
                 n_rows = blob_mod._HEADER.unpack_from(mv)[3]
                 ex = blob_mod.decode_extras(mv, n_rows, names=want)
                 missing = want - set(ex)
