@@ -278,7 +278,7 @@ def _q_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Needle-in-haystack membership over the ENCODED table
     # (operators/token_index.py): build the per-chunk token-membership
     # index (exact bitmaps here — the 50k vocabulary fits), then find
-    # every document containing token 1234 with its occurrence count,
+    # every document containing token 1212 with its occurrence count,
     # decoding only candidate chunks (pruning asserted: strict subset).
     # The oracle recomputes membership straight from the token formula —
     # a doc dropped by a wrong bitmap bit, a miscounted hit, or a crc
@@ -298,6 +298,7 @@ def _q_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = EncodeConfig(chunk_values=4096, target_values_per_part=32_768)
     tok = token_table(spark, sf_dir)
     chunks = encode_tokens(tok, cfg).cache()
+    index = None
     try:
         index = build_token_index(chunks).cache()
         n_cand = filter_chunks_by_token(chunks, index, token).count()
@@ -309,8 +310,9 @@ def _q_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()
         )
-        index.unpersist()
     finally:
+        if index is not None:
+            index.unpersist()
         chunks.unpersist()
     return spark.createDataFrame(
         rows, "doc_id string, source string, n_hits bigint"

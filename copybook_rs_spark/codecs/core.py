@@ -177,7 +177,10 @@ class ChunkStats:
                 is_sorted=True, max_run_len=1, max_zz_delta=int(zz_full[0]),
                 zz_delta_p99=int(zz_full[0]), n_delta_runs=1,
                 mode_count=1 if deep else 0, mode_value=x if deep else 0,
-                _uniq=v if (deep and with_uniq) else None,
+                # .copy(): the general path's np.unique always returns a
+                # fresh array; aliasing the caller's buffer here would let
+                # a later in-place edit drift the dict encoder's uniques
+                _uniq=v.copy() if (deep and with_uniq) else None,
                 _run_break_idx=np.empty(0, dtype=np.int64),
                 _zz_full=zz_full,
             )

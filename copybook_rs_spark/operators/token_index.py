@@ -60,7 +60,7 @@ from pyspark.sql.types import (
 )
 
 from copybook_rs_spark import blob as blob_mod
-from copybook_rs_spark.errors import PipelineContractError, TruncatedBlobError
+from copybook_rs_spark.errors import TruncatedBlobError
 from copybook_rs_spark.operators.lookup import (
     _MAX_COLLECTED,
     prune_to_candidates,
@@ -223,6 +223,11 @@ def filter_chunks_by_token(
     parallel, and amortizable across queries by collecting the verdict
     per token batch; the decode that follows touches candidates only."""
     token = int(token)
+    if not -(2**63) <= token < 2**63:
+        # token values are int32/int64 by the engine's type authority —
+        # an out-of-int64 needle provably matches nothing (and would
+        # overflow F.lit / the numpy probe below with an untyped error)
+        return chunk_df.limit(0)
     meta = chunk_df.select("chunk_id", "blob_crc", "min_token", "max_token")
     # the chunk table's own zone map is authoritative: out-of-envelope
     # chunks cannot contain the token, known to the index or not
@@ -245,16 +250,21 @@ def filter_chunks_by_token(
     idx = index_df.select(
         F.col("chunk_id").alias("__tx_id"),
         F.col("blob_crc").alias("__tx_crc"),
-        probe(F.col("kind"), F.col("ref"), F.col("bits")).alias("__tx_maybe"),
+        "kind", "ref", "bits",
     )
     on = (F.col("chunk_id") == F.col("__tx_id")) & (
         F.col("blob_crc") == F.col("__tx_crc")
     )
     known = idx.select("__tx_id", "__tx_crc")
     unknown = in_range.join(known, on, "left_anti").select("chunk_id")
-    passing = in_range.join(
-        idx.where(F.col("__tx_maybe")), on, "left_semi"
-    ).select("chunk_id")
+    # join FIRST, probe only the survivors: the per-row Python bit test
+    # never runs for chunks the authoritative envelope (or a stale crc)
+    # already excluded
+    passing = (
+        in_range.join(idx, on, "inner")
+        .where(probe(F.col("kind"), F.col("ref"), F.col("bits")))
+        .select("chunk_id")
+    )
     cand = passing.unionByName(unknown).distinct()
     return prune_to_candidates(chunk_df, cand, max_collected)
 
@@ -272,6 +282,13 @@ def docs_with_token(
     from copybook_rs_spark.operators.decode import decode_tokens
 
     token = int(token)
+    if not -(2**63) <= token < 2**63:
+        # provably absent (token values are int32/int64); F.lit below
+        # would overflow with an untyped Py4J error, so answer directly
+        spark = chunk_df.sparkSession
+        return spark.createDataFrame(
+            [], "doc_id string, source string, n_hits int"
+        )
     pruned = filter_chunks_by_token(
         chunk_df, index_df, token, max_collected=max_collected
     )

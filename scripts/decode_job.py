@@ -29,7 +29,9 @@ Flags:
                      on mismatch.
 
 Exit codes: 0 ok; 2 typed engine error (CBSP*, e.g. corrupt chunk under
-strict, budget exceeded, resume-meta mismatch); 3 --verify mismatch.
+strict, budget exceeded, resume-meta mismatch); 3 --verify mismatch;
+64 usage error (argparse's default exit 2 would shadow the typed-error
+code, so flag mistakes exit EX_USAGE instead).
 """
 
 from __future__ import annotations
@@ -42,8 +44,14 @@ import time
 from pyspark.sql import SparkSession, functions as F
 
 
+class _Parser(argparse.ArgumentParser):
+    def error(self, message):  # usage errors -> EX_USAGE, not 2
+        self.print_usage(sys.stderr)
+        self.exit(64, f"{self.prog}: error: {message}\n")
+
+
 def main() -> int:
-    ap = argparse.ArgumentParser()
+    ap = _Parser()
     ap.add_argument("--input", required=True, help="chunk table parquet dir")
     ap.add_argument("--output", required=True, help="decoded token table dir")
     ap.add_argument("--columns", default="", help="comma-separated projection")
@@ -128,18 +136,21 @@ def main() -> int:
         expect = chunk_df.agg(
             F.sum("n_rows").alias("docs"), F.sum("n_values").alias("vals")
         ).collect()[0]
+        # sums are NULL on an empty chunk table — expected totals are 0
+        exp_docs = int(expect["docs"] or 0)
+        exp_vals = int(expect["vals"] or 0)
         got_docs = out.count()
         report["docs_decoded"] = got_docs
-        report["docs_expected"] = int(expect["docs"])
+        report["docs_expected"] = exp_docs
         # lenient runs legitimately decode fewer docs (skipped chunks)
         if args.policy == "strict" and summary.get("n_errors", 0) == 0:
-            checks_ok &= got_docs == int(expect["docs"])
+            checks_ok &= got_docs == exp_docs
             if "tokens" in have:
                 got_vals = int(
                     out.agg(F.sum(F.size("tokens"))).collect()[0][0] or 0
                 )
                 report["tokens_decoded"] = got_vals
-                checks_ok &= got_vals == int(expect["vals"])
+                checks_ok &= got_vals == exp_vals
         if not checks_ok:
             report["verify"] = "FAIL"
             print(json.dumps(report))

@@ -196,9 +196,20 @@ def test_stale_blob_crc_column_fails_typed(spark, chunks):
     tampered = chunks.withColumn(
         "blob_crc", (F.col("blob_crc") + F.lit(1)) % F.lit(2**32)
     )
+    # executor-side raise arrives Py4J-wrapped; the typed error's name and
+    # message must survive into it
     with pytest.raises(Exception) as ei:
         build_token_index(tampered).count()
+    assert PipelineContractError.__name__ in str(ei.value)
     assert "blob_crc" in str(ei.value)
+
+
+def test_out_of_int64_token_is_provably_absent(spark, chunks, index):
+    # F.lit / the numpy probe would overflow past int64; the operator must
+    # answer "no documents" instead of an untyped error
+    for needle in (2**63, -(2**63) - 1, 2**70):
+        assert filter_chunks_by_token(chunks, index, needle).count() == 0
+        assert docs_with_token(chunks, index, needle, cfg=CFG).count() == 0
 
 
 def test_index_row_shape(index):
