@@ -206,6 +206,16 @@ def build_token_index(chunk_df: DataFrame) -> DataFrame:
     return src.mapInArrow(_make_token_index_kernel(), TOKEN_INDEX_SCHEMA)
 
 
+def refresh_token_index(chunk_df: DataFrame, index_df: DataFrame) -> DataFrame:
+    """Incremental maintenance: keep rows whose chunk still exists with
+    the same bytes, drop deleted/rewritten chunks' rows, build summaries
+    for chunks the index does not describe. Equal to a full
+    build_token_index(chunk_df) by construction (see zonemap.refresh_index)."""
+    from copybook_rs_spark.operators.zonemap import refresh_index
+
+    return refresh_index(chunk_df, index_df, build_token_index)
+
+
 def filter_chunks_by_token(
     chunk_df: DataFrame,
     index_df: DataFrame,

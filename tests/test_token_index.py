@@ -218,3 +218,31 @@ def test_index_row_shape(index):
         "chunk_id", "blob_crc", "kind", "ref", "n_distinct", "bits"
     }
     assert r["n_distinct"] > 0 and len(r["bits"]) > 0
+
+
+def test_refresh_equals_full_rebuild_after_mutation(spark, tok_df, chunks, index):
+    from copybook_rs_spark.operators import refresh_token_index
+
+    victims = [r["doc_id"] for r in tok_df.select("doc_id").limit(30).collect()]
+    mutated = delete_docs(chunks, victims, cfg=CFG).cache()
+    try:
+        refreshed = refresh_token_index(mutated, index)
+        full = build_token_index(mutated)
+
+        def canon(df):
+            return sorted(
+                (r["chunk_id"], r["blob_crc"], r["kind"], r["ref"],
+                 r["n_distinct"], bytes(r["bits"]))
+                for r in df.collect()
+            )
+
+        assert canon(refreshed) == canon(full)
+        # the refresh only rebuilt the chunks the old index doesn't
+        # describe (rewritten or new); everything else was kept verbatim
+        meta = mutated.select("chunk_id", "blob_crc")
+        n_pending = meta.subtract(
+            index.select("chunk_id", "blob_crc")
+        ).count()
+        assert 0 < n_pending < mutated.count()
+    finally:
+        mutated.unpersist()
