@@ -206,6 +206,47 @@ def build_token_index(chunk_df: DataFrame) -> DataFrame:
     return src.mapInArrow(_make_token_index_kernel(), TOKEN_INDEX_SCHEMA)
 
 
+def docs_with_all_tokens(
+    chunk_df: DataFrame,
+    index_df: DataFrame,
+    tokens,
+    cfg=None,
+    max_collected: int = _MAX_COLLECTED,
+) -> DataFrame:
+    """Conjunctive document search: every (doc_id, source) whose token
+    array contains EVERY needle in `tokens`. A qualifying doc's chunk
+    must be a candidate for each needle, so the prune INTERSECTS the
+    per-token candidate sets before the one decode — on exact-bitmap
+    corpora the intersection is usually far smaller than any single
+    needle's set. Exact by construction (decode + all-of filter after)."""
+    from copybook_rs_spark.operators.decode import decode_tokens
+
+    needles = sorted({int(t) for t in tokens})
+    if not needles:
+        raise ValueError("docs_with_all_tokens: empty token list")
+    spark = chunk_df.sparkSession
+    if any(not -(2**63) <= t < 2**63 for t in needles):
+        # one impossible needle makes the conjunction provably empty
+        return spark.createDataFrame([], "doc_id string, source string")
+    cand = _candidate_ids(chunk_df, index_df, needles[0])
+    for t in needles[1:]:
+        cand = cand.join(_candidate_ids(chunk_df, index_df, t), "chunk_id")
+    pruned = prune_to_candidates(chunk_df, cand, max_collected)
+    dec = decode_tokens(pruned, columns=["doc_id", "tokens", "source"], cfg=cfg)
+    def _has(t):
+        # exists-with-== coerces int32/int64 element types like
+        # docs_with_token's filter does; array_contains would need an
+        # exact-type literal per token dtype. Single-arg lambda via a
+        # closure factory — a defaulted second arg would make PySpark
+        # bind a 2-arg higher-order lambda.
+        return F.exists(F.col("tokens"), lambda x: x == F.lit(t))
+
+    pred = F.lit(True)
+    for t in needles:
+        pred = pred & _has(t)
+    return dec.where(pred).select("doc_id", "source")
+
+
 def refresh_token_index(chunk_df: DataFrame, index_df: DataFrame) -> DataFrame:
     """Incremental maintenance: keep rows whose chunk still exists with
     the same bytes, drop deleted/rewritten chunks' rows, build summaries
@@ -238,6 +279,14 @@ def filter_chunks_by_token(
         # an out-of-int64 needle provably matches nothing (and would
         # overflow F.lit / the numpy probe below with an untyped error)
         return chunk_df.limit(0)
+    cand = _candidate_ids(chunk_df, index_df, token)
+    return prune_to_candidates(chunk_df, cand, max_collected)
+
+
+def _candidate_ids(chunk_df: DataFrame, index_df: DataFrame, token: int) -> DataFrame:
+    """chunk_id DataFrame of the token's candidate chunks (maybe-rows ∪
+    index-unknown chunks, both bounded by the authoritative envelope).
+    Caller guarantees token fits int64."""
     meta = chunk_df.select("chunk_id", "blob_crc", "min_token", "max_token")
     # the chunk table's own zone map is authoritative: out-of-envelope
     # chunks cannot contain the token, known to the index or not
@@ -275,8 +324,7 @@ def filter_chunks_by_token(
         .where(probe(F.col("kind"), F.col("ref"), F.col("bits")))
         .select("chunk_id")
     )
-    cand = passing.unionByName(unknown).distinct()
-    return prune_to_candidates(chunk_df, cand, max_collected)
+    return passing.unionByName(unknown).distinct()
 
 
 def docs_with_token(

@@ -246,3 +246,43 @@ def test_refresh_equals_full_rebuild_after_mutation(spark, tok_df, chunks, index
         assert 0 < n_pending < mutated.count()
     finally:
         mutated.unpersist()
+
+
+def test_all_tokens_conjunction_matches_brute_force(spark, chunks, index):
+    from copybook_rs_spark.operators import docs_with_all_tokens
+
+    dec = decode_tokens(chunks, cfg=CFG)
+    # a real co-occurring pair: two tokens from one actual document
+    some = dec.select("doc_id", "tokens").where(F.size("tokens") >= 2).first()
+    t1, t2 = int(some["tokens"][0]), int(some["tokens"][-1])
+
+    def brute(ts):
+        def has(t):
+            return F.exists(F.col("tokens"), lambda x: x == F.lit(t))
+
+        pred = F.lit(True)
+        for t in ts:
+            pred = pred & has(t)
+        return sorted(
+            (r["doc_id"], r["source"])
+            for r in dec.where(pred).select("doc_id", "source").collect()
+        )
+
+    for ts in ([t1], [t1, t2], [t1, t2, 10**9]):
+        got = sorted(
+            (r["doc_id"], r["source"])
+            for r in docs_with_all_tokens(chunks, index, ts, cfg=CFG).collect()
+        )
+        assert got == brute(ts), ts
+    assert (some["doc_id"], ) [0] in {d for d, _ in got} or ts[-1] == 10**9
+    # conjunction candidates never exceed a single needle's candidates
+    from copybook_rs_spark.operators.token_index import _candidate_ids
+    c1 = _candidate_ids(chunks, index, t1).count()
+    c12 = _candidate_ids(chunks, index, t1).join(
+        _candidate_ids(chunks, index, t2), "chunk_id"
+    ).count()
+    assert c12 <= c1
+    # impossible needle -> provably empty without decoding
+    assert docs_with_all_tokens(chunks, index, [t1, 2**64], cfg=CFG).count() == 0
+    with pytest.raises(ValueError):
+        docs_with_all_tokens(chunks, index, [], cfg=CFG)
