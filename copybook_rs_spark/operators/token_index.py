@@ -60,12 +60,12 @@ from pyspark.sql.types import (
 )
 
 from copybook_rs_spark import blob as blob_mod
-from copybook_rs_spark.errors import TruncatedBlobError
+from copybook_rs_spark.errors import PipelineContractError, TruncatedBlobError
 from copybook_rs_spark.operators.lookup import (
     _MAX_COLLECTED,
     prune_to_candidates,
 )
-from copybook_rs_spark.operators.zonemap import certify_blob_crc
+from copybook_rs_spark.operators.zonemap import certify_blob_crc, refresh_index
 
 # exact bitmap ceiling: ranges up to this many BITS store exact presence
 # (2^17 bits = 16 KiB worst case). GPT-style vocabularies (~50k) fit with
@@ -223,14 +223,12 @@ def docs_with_all_tokens(
 
     needles = sorted({int(t) for t in tokens})
     if not needles:
-        raise ValueError("docs_with_all_tokens: empty token list")
+        raise PipelineContractError("docs_with_all_tokens: empty token list")
     spark = chunk_df.sparkSession
     if any(not -(2**63) <= t < 2**63 for t in needles):
         # one impossible needle makes the conjunction provably empty
         return spark.createDataFrame([], "doc_id string, source string")
-    cand = _candidate_ids(chunk_df, index_df, needles[0])
-    for t in needles[1:]:
-        cand = cand.join(_candidate_ids(chunk_df, index_df, t), "chunk_id")
+    cand = _candidate_ids(chunk_df, index_df, needles)
     pruned = prune_to_candidates(chunk_df, cand, max_collected)
     dec = decode_tokens(pruned, columns=["doc_id", "tokens", "source"], cfg=cfg)
     def _has(t):
@@ -252,8 +250,6 @@ def refresh_token_index(chunk_df: DataFrame, index_df: DataFrame) -> DataFrame:
     the same bytes, drop deleted/rewritten chunks' rows, build summaries
     for chunks the index does not describe. Equal to a full
     build_token_index(chunk_df) by construction (see zonemap.refresh_index)."""
-    from copybook_rs_spark.operators.zonemap import refresh_index
-
     return refresh_index(chunk_df, index_df, build_token_index)
 
 
@@ -279,21 +275,29 @@ def filter_chunks_by_token(
         # an out-of-int64 needle provably matches nothing (and would
         # overflow F.lit / the numpy probe below with an untyped error)
         return chunk_df.limit(0)
-    cand = _candidate_ids(chunk_df, index_df, token)
+    cand = _candidate_ids(chunk_df, index_df, [token])
     return prune_to_candidates(chunk_df, cand, max_collected)
 
 
-def _candidate_ids(chunk_df: DataFrame, index_df: DataFrame, token: int) -> DataFrame:
-    """chunk_id DataFrame of the token's candidate chunks (maybe-rows ∪
-    index-unknown chunks, both bounded by the authoritative envelope).
-    Caller guarantees token fits int64."""
+def _candidate_ids(
+    chunk_df: DataFrame, index_df: DataFrame, needles: list[int]
+) -> DataFrame:
+    """chunk_id DataFrame of chunks that may contain EVERY needle:
+    all-needles envelope pass ∩ (index-unknown ∪ all-needles probe pass).
+    ONE index scan and one probe pass regardless of needle count — the
+    per-needle candidate-set intersection distributes because the
+    unknown set is needle-independent:
+    ∩_t (R_t ∩ (U ∪ M_t)) == (∩_t R_t) ∩ (U ∪ ∩_t M_t).
+    Caller guarantees every needle fits int64."""
     meta = chunk_df.select("chunk_id", "blob_crc", "min_token", "max_token")
     # the chunk table's own zone map is authoritative: out-of-envelope
-    # chunks cannot contain the token, known to the index or not
-    in_range = meta.where(
-        (F.col("min_token") <= F.lit(token))
-        & (F.col("max_token") >= F.lit(token))
-    )
+    # chunks cannot contain a needle, known to the index or not
+    cond = F.lit(True)
+    for t in needles:
+        cond = cond & (F.col("min_token") <= F.lit(t)) & (
+            F.col("max_token") >= F.lit(t)
+        )
+    in_range = meta.where(cond)
 
     @F.pandas_udf("boolean")
     def probe(kind, ref, bits):
@@ -301,7 +305,9 @@ def _candidate_ids(chunk_df: DataFrame, index_df: DataFrame, token: int) -> Data
 
         return pd.Series(
             [
-                _maybe_contains(int(k), int(r), b, token)
+                all(
+                    _maybe_contains(int(k), int(r), b, t) for t in needles
+                )
                 for k, r, b in zip(kind, ref, bits)
             ]
         )

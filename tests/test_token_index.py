@@ -274,15 +274,18 @@ def test_all_tokens_conjunction_matches_brute_force(spark, chunks, index):
             for r in docs_with_all_tokens(chunks, index, ts, cfg=CFG).collect()
         )
         assert got == brute(ts), ts
-    assert (some["doc_id"], ) [0] in {d for d, _ in got} or ts[-1] == 10**9
+        # positive control: the sampled doc itself must appear whenever
+        # every needle came from it (guards a value-blind brute twin)
+        if 10**9 not in ts:
+            assert some["doc_id"] in {d for d, _ in got}, ts
+        else:
+            assert got == []
     # conjunction candidates never exceed a single needle's candidates
     from copybook_rs_spark.operators.token_index import _candidate_ids
-    c1 = _candidate_ids(chunks, index, t1).count()
-    c12 = _candidate_ids(chunks, index, t1).join(
-        _candidate_ids(chunks, index, t2), "chunk_id"
-    ).count()
-    assert c12 <= c1
+    c1 = _candidate_ids(chunks, index, [t1]).count()
+    c12 = _candidate_ids(chunks, index, [t1, t2]).count()
+    assert 0 < c12 <= c1
     # impossible needle -> provably empty without decoding
     assert docs_with_all_tokens(chunks, index, [t1, 2**64], cfg=CFG).count() == 0
-    with pytest.raises(ValueError):
+    with pytest.raises(PipelineContractError):
         docs_with_all_tokens(chunks, index, [], cfg=CFG)
