@@ -119,3 +119,36 @@ def pending_groups(df_with_part: DataFrame, manifest: DataFrame) -> DataFrame:
     return df_with_part.join(
         F.broadcast(done), ["source", "part_id"], "left_anti"
     )
+
+
+def register_views(
+    spark: SparkSession,
+    out_dir: str,
+    prefix: str = "cbsp",
+    cfg=None,
+    columns: list[str] | None = None,
+) -> dict[str, DataFrame]:
+    """SQL-on-encoded-table convenience: register temp views over a
+    write_encoded directory so `spark.sql` works directly —
+
+    - ``{prefix}_tokens``   decode-on-read token table (projection via
+      `columns`; Catalyst prunes/limits compose on top, and the blob-level
+      pushdown still applies to whatever the view itself projects)
+    - ``{prefix}_chunks``   raw chunk metadata + blobs
+    - ``{prefix}_manifest`` per-group lineage/metrics rows
+
+    Returns the three DataFrames keyed by view name. Views are lazy:
+    nothing decodes until a query touches {prefix}_tokens."""
+    from copybook_rs_spark.operators.decode import decode_tokens
+
+    chunks = read_chunks(spark, out_dir)
+    manifest = read_manifest(spark, out_dir)
+    tokens = decode_tokens(chunks, columns=columns, cfg=cfg)
+    out = {
+        f"{prefix}_tokens": tokens,
+        f"{prefix}_chunks": chunks,
+        f"{prefix}_manifest": manifest,
+    }
+    for name, df in out.items():
+        df.createOrReplaceTempView(name)
+    return out

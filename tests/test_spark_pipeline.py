@@ -744,3 +744,39 @@ def test_jsonl_envelope_float_extras(spark):
         }
 
     assert bits(back.collect()) == bits(df.collect())
+
+
+def test_register_views_sql_over_encoded_table(spark, tmp_path):
+    from copybook_rs_spark.config import EncodeConfig
+    from copybook_rs_spark.operators import encode_tokens
+    from copybook_rs_spark.sources.manifest import (
+        build_manifest,
+        register_views,
+    )
+    from copybook_rs_spark.sources.tokens import token_table
+
+    cfg = EncodeConfig(chunk_values=8192, target_values_per_part=32_768)
+    tok = token_table(spark, "/root/testdata/sf0.001")
+    out = str(tmp_path / "enc")
+    chunks = encode_tokens(tok, cfg)
+    chunks.write.parquet(out + "/chunks")
+    build_manifest(spark.read.parquet(out + "/chunks")).write.parquet(
+        out + "/manifest"
+    )
+    register_views(spark, out, prefix="t", cfg=cfg)
+    got = spark.sql(
+        "SELECT source, count(*) AS n, sum(n_tok) AS toks "
+        "FROM t_tokens GROUP BY source ORDER BY source"
+    ).collect()
+    want = (
+        tok.groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_tok").alias("toks"))
+        .orderBy("source")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    n_chunks = spark.sql("SELECT count(*) FROM t_chunks").collect()[0][0]
+    n_groups = spark.sql(
+        "SELECT count(*) FROM t_manifest"
+    ).collect()[0][0]
+    assert n_chunks > 0 and 0 < n_groups <= n_chunks
