@@ -27,6 +27,7 @@ from copybook_rs_spark.operators.mutate import (  # noqa: F401
 from copybook_rs_spark.operators.token_index import (  # noqa: F401
     build_token_index,
     docs_with_all_tokens,
+    docs_with_any_token,
     docs_with_token,
     filter_chunks_by_token,
     refresh_token_index,

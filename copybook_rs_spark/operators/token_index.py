@@ -245,6 +245,41 @@ def docs_with_all_tokens(
     return dec.where(pred).select("doc_id", "source")
 
 
+def docs_with_any_token(
+    chunk_df: DataFrame,
+    index_df: DataFrame,
+    tokens,
+    cfg=None,
+    max_collected: int = _MAX_COLLECTED,
+) -> DataFrame:
+    """Disjunctive document search: every (doc_id, source) whose token
+    array contains AT LEAST ONE needle. Candidates = union of per-needle
+    candidate sets — computed in the same single index pass as the
+    conjunction (any() instead of all(), envelope ORs), then one decode +
+    exact any-of filter. Out-of-int64 needles are provably absent and
+    simply drop out of the disjunction."""
+    from copybook_rs_spark.operators.decode import decode_tokens
+
+    needles = sorted({int(t) for t in tokens})
+    if not needles:
+        raise PipelineContractError("docs_with_any_token: empty token list")
+    spark = chunk_df.sparkSession
+    needles = [t for t in needles if -(2**63) <= t < 2**63]
+    if not needles:
+        return spark.createDataFrame([], "doc_id string, source string")
+    cand = _candidate_ids(chunk_df, index_df, needles, mode="any")
+    pruned = prune_to_candidates(chunk_df, cand, max_collected)
+    dec = decode_tokens(pruned, columns=["doc_id", "tokens", "source"], cfg=cfg)
+
+    def _has(t):
+        return F.exists(F.col("tokens"), lambda x: x == F.lit(t))
+
+    pred = F.lit(False)
+    for t in needles:
+        pred = pred | _has(t)
+    return dec.where(pred).select("doc_id", "source")
+
+
 def refresh_token_index(chunk_df: DataFrame, index_df: DataFrame) -> DataFrame:
     """Incremental maintenance: keep rows whose chunk still exists with
     the same bytes, drop deleted/rewritten chunks' rows, build summaries
@@ -280,24 +315,34 @@ def filter_chunks_by_token(
 
 
 def _candidate_ids(
-    chunk_df: DataFrame, index_df: DataFrame, needles: list[int]
+    chunk_df: DataFrame,
+    index_df: DataFrame,
+    needles: list[int],
+    mode: str = "all",
 ) -> DataFrame:
-    """chunk_id DataFrame of chunks that may contain EVERY needle:
-    all-needles envelope pass ∩ (index-unknown ∪ all-needles probe pass).
-    ONE index scan and one probe pass regardless of needle count — the
-    per-needle candidate-set intersection distributes because the
-    unknown set is needle-independent:
-    ∩_t (R_t ∩ (U ∪ M_t)) == (∩_t R_t) ∩ (U ∪ ∩_t M_t).
+    """chunk_id DataFrame of chunks that may contain EVERY needle
+    (mode="all") or AT LEAST ONE needle (mode="any"): needle-folded
+    envelope pass ∩ (index-unknown ∪ needle-folded probe pass). ONE index
+    scan and one probe pass regardless of needle count — the per-needle
+    candidate-set fold distributes because the unknown set U is
+    needle-independent:
+      all: ∩_t (R_t ∩ (U ∪ M_t)) == (∩R_t) ∩ (U ∪ ∩M_t)   (exact)
+      any: (∪R_t) ∩ (U ∪ ∪M_t)  ⊇  ∪_t (R_t ∩ (U ∪ M_t))  (conservative
+           superset — a chunk in range only for t but maybe-holding only
+           s survives; the exact post-decode filter absorbs it)
     Caller guarantees every needle fits int64."""
+    conj = mode == "all"
     meta = chunk_df.select("chunk_id", "blob_crc", "min_token", "max_token")
     # the chunk table's own zone map is authoritative: out-of-envelope
     # chunks cannot contain a needle, known to the index or not
-    cond = F.lit(True)
+    cond = F.lit(conj)
     for t in needles:
-        cond = cond & (F.col("min_token") <= F.lit(t)) & (
+        hit = (F.col("min_token") <= F.lit(t)) & (
             F.col("max_token") >= F.lit(t)
         )
+        cond = (cond & hit) if conj else (cond | hit)
     in_range = meta.where(cond)
+    fold = all if conj else any
 
     @F.pandas_udf("boolean")
     def probe(kind, ref, bits):
@@ -305,7 +350,7 @@ def _candidate_ids(
 
         return pd.Series(
             [
-                all(
+                fold(
                     _maybe_contains(int(k), int(r), b, t) for t in needles
                 )
                 for k, r, b in zip(kind, ref, bits)

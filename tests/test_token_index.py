@@ -289,3 +289,51 @@ def test_all_tokens_conjunction_matches_brute_force(spark, chunks, index):
     assert docs_with_all_tokens(chunks, index, [t1, 2**64], cfg=CFG).count() == 0
     with pytest.raises(PipelineContractError):
         docs_with_all_tokens(chunks, index, [], cfg=CFG)
+
+
+def test_any_token_disjunction_matches_brute_force(spark, chunks, index):
+    from copybook_rs_spark.operators import docs_with_any_token
+
+    dec = decode_tokens(chunks, cfg=CFG)
+    some = dec.select("doc_id", "tokens").where(F.size("tokens") >= 2).first()
+    other = (
+        dec.select("doc_id", "tokens")
+        .where(F.col("doc_id") != some["doc_id"])
+        .first()
+    )
+    t1, t2 = int(some["tokens"][0]), int(other["tokens"][-1])
+
+    def brute(ts):
+        def has(t):
+            return F.exists(F.col("tokens"), lambda x: x == F.lit(t))
+
+        pred = F.lit(False)
+        for t in ts:
+            pred = pred | has(t)
+        return sorted(
+            (r["doc_id"], r["source"])
+            for r in dec.where(pred).select("doc_id", "source").collect()
+        )
+
+    for ts in ([t1], [t1, t2], [t1, t2, 10**9]):
+        got = sorted(
+            (r["doc_id"], r["source"])
+            for r in docs_with_any_token(chunks, index, ts, cfg=CFG).collect()
+        )
+        assert got == brute(ts), ts
+        # positive controls: both sampled docs appear once their token is
+        # in the disjunction
+        names = {d for d, _ in got}
+        assert some["doc_id"] in names
+        if t2 in ts:
+            assert other["doc_id"] in names
+    # out-of-int64 needles drop out of the disjunction (not an error)
+    from copybook_rs_spark.operators import docs_with_all_tokens  # noqa: F401
+    got2 = sorted(
+        (r["doc_id"], r["source"])
+        for r in docs_with_any_token(chunks, index, [t1, 2**64], cfg=CFG).collect()
+    )
+    assert got2 == brute([t1])
+    assert docs_with_any_token(chunks, index, [2**64], cfg=CFG).count() == 0
+    with pytest.raises(PipelineContractError):
+        docs_with_any_token(chunks, index, [], cfg=CFG)
