@@ -219,30 +219,17 @@ def docs_with_all_tokens(
     per-token candidate sets before the one decode — on exact-bitmap
     corpora the intersection is usually far smaller than any single
     needle's set. Exact by construction (decode + all-of filter after)."""
-    from copybook_rs_spark.operators.decode import decode_tokens
-
     needles = sorted({int(t) for t in tokens})
     if not needles:
         raise PipelineContractError("docs_with_all_tokens: empty token list")
-    spark = chunk_df.sparkSession
     if any(not -(2**63) <= t < 2**63 for t in needles):
         # one impossible needle makes the conjunction provably empty
-        return spark.createDataFrame([], "doc_id string, source string")
-    cand = _candidate_ids(chunk_df, index_df, needles)
-    pruned = prune_to_candidates(chunk_df, cand, max_collected)
-    dec = decode_tokens(pruned, columns=["doc_id", "tokens", "source"], cfg=cfg)
-    def _has(t):
-        # exists-with-== coerces int32/int64 element types like
-        # docs_with_token's filter does; array_contains would need an
-        # exact-type literal per token dtype. Single-arg lambda via a
-        # closure factory — a defaulted second arg would make PySpark
-        # bind a 2-arg higher-order lambda.
-        return F.exists(F.col("tokens"), lambda x: x == F.lit(t))
-
-    pred = F.lit(True)
-    for t in needles:
-        pred = pred & _has(t)
-    return dec.where(pred).select("doc_id", "source")
+        return chunk_df.sparkSession.createDataFrame(
+            [], "doc_id string, source string"
+        )
+    return _docs_with_tokens(
+        chunk_df, index_df, needles, "all", cfg, max_collected
+    )
 
 
 def docs_with_any_token(
@@ -258,25 +245,53 @@ def docs_with_any_token(
     conjunction (any() instead of all(), envelope ORs), then one decode +
     exact any-of filter. Out-of-int64 needles are provably absent and
     simply drop out of the disjunction."""
-    from copybook_rs_spark.operators.decode import decode_tokens
-
     needles = sorted({int(t) for t in tokens})
     if not needles:
         raise PipelineContractError("docs_with_any_token: empty token list")
-    spark = chunk_df.sparkSession
     needles = [t for t in needles if -(2**63) <= t < 2**63]
     if not needles:
-        return spark.createDataFrame([], "doc_id string, source string")
-    cand = _candidate_ids(chunk_df, index_df, needles, mode="any")
+        return chunk_df.sparkSession.createDataFrame(
+            [], "doc_id string, source string"
+        )
+    return _docs_with_tokens(
+        chunk_df, index_df, needles, "any", cfg, max_collected
+    )
+
+
+def _docs_with_tokens(
+    chunk_df: DataFrame,
+    index_df: DataFrame,
+    needles: list[int],
+    mode: str,
+    cfg,
+    max_collected: int,
+) -> DataFrame:
+    """Shared prune → decode → exact boolean filter behind the
+    conjunctive and disjunctive searches (one index pass either way —
+    see _candidate_ids for the fold algebra). Caller has validated and
+    int64-bounded the needle list."""
+    from copybook_rs_spark.operators.decode import decode_tokens
+
+    cand = _candidate_ids(chunk_df, index_df, needles, mode=mode)
     pruned = prune_to_candidates(chunk_df, cand, max_collected)
     dec = decode_tokens(pruned, columns=["doc_id", "tokens", "source"], cfg=cfg)
+    if mode == "all":
+        # exists-with-== coerces int32/int64 element types like
+        # docs_with_token's filter does; array_contains would need an
+        # exact-type literal per token dtype. Single-arg lambda via a
+        # closure factory — a defaulted second arg would make PySpark
+        # bind a 2-arg higher-order lambda.
+        def _has(t):
+            return F.exists(F.col("tokens"), lambda x: x == F.lit(t))
 
-    def _has(t):
-        return F.exists(F.col("tokens"), lambda x: x == F.lit(t))
-
-    pred = F.lit(False)
-    for t in needles:
-        pred = pred | _has(t)
+        pred = F.lit(True)
+        for t in needles:
+            pred = pred & _has(t)
+    else:
+        # ONE short-circuiting traversal for the disjunction (K separate
+        # exists-scans would pay K full array passes per decoded doc);
+        # isin keeps the same ==-style coercion semantics
+        pred = F.exists(F.col("tokens"), lambda x: x.isin(needles))
     return dec.where(pred).select("doc_id", "source")
 
 

@@ -138,11 +138,28 @@ def register_views(
     - ``{prefix}_manifest`` per-group lineage/metrics rows
 
     Returns the three DataFrames keyed by view name. Views are lazy:
-    nothing decodes until a query touches {prefix}_tokens."""
+    nothing decodes until a query touches {prefix}_tokens — but the
+    table's schema fingerprint is certified against cfg HERE (one
+    metadata-only job), so a wrong/missing EncodeConfig fails typed at
+    registration instead of surfacing later as an untyped kernel error
+    mid-query (the mutate/compact guard, applied at the SQL boundary)."""
+    from copybook_rs_spark.config import EncodeConfig
+    from copybook_rs_spark.errors import PipelineContractError
     from copybook_rs_spark.operators.decode import decode_tokens
 
     chunks = read_chunks(spark, out_dir)
     manifest = read_manifest(spark, out_dir)
+    want = (cfg or EncodeConfig()).fingerprint
+    fps = sorted(
+        r["schema_fp"] for r in chunks.select("schema_fp").distinct().collect()
+    )
+    if fps != [want]:
+        raise PipelineContractError(
+            f"register_views: table at {out_dir!r} has schema_fp(s) "
+            f"{[f[:12] + '…' for f in fps]} but cfg fingerprints "
+            f"{want[:12]}… — pass the EncodeConfig the table currently "
+            "decodes with"
+        )
     tokens = decode_tokens(chunks, columns=columns, cfg=cfg)
     out = {
         f"{prefix}_tokens": tokens,

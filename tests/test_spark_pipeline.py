@@ -780,3 +780,29 @@ def test_register_views_sql_over_encoded_table(spark, tmp_path):
         "SELECT count(*) FROM t_manifest"
     ).collect()[0][0]
     assert n_chunks > 0 and 0 < n_groups <= n_chunks
+
+
+def test_register_views_certifies_schema_fp(spark, tmp_path):
+    from copybook_rs_spark.config import EncodeConfig
+    from copybook_rs_spark.errors import PipelineContractError
+    from copybook_rs_spark.operators import encode_tokens
+    from copybook_rs_spark.sources.manifest import build_manifest, register_views
+    from copybook_rs_spark.sources.tokens import token_table
+
+    cfg = EncodeConfig(
+        token_dtype="int64", chunk_values=8192, target_values_per_part=32_768
+    )
+    tok = token_table(spark, "/root/testdata/sf0.001").withColumn(
+        "tokens", F.col("tokens").cast("array<long>")
+    )
+    out = str(tmp_path / "enc64")
+    encode_tokens(tok.limit(2000), cfg).write.parquet(out + "/chunks")
+    build_manifest(spark.read.parquet(out + "/chunks")).write.parquet(
+        out + "/manifest"
+    )
+    # default cfg fingerprints int32 — must fail typed at registration,
+    # not as an untyped kernel error mid-query
+    with pytest.raises(PipelineContractError, match="schema_fp"):
+        register_views(spark, out, prefix="bad")
+    register_views(spark, out, prefix="ok", cfg=cfg)
+    assert spark.sql("SELECT count(*) FROM ok_tokens").collect()[0][0] == 2000

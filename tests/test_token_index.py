@@ -328,7 +328,6 @@ def test_any_token_disjunction_matches_brute_force(spark, chunks, index):
         if t2 in ts:
             assert other["doc_id"] in names
     # out-of-int64 needles drop out of the disjunction (not an error)
-    from copybook_rs_spark.operators import docs_with_all_tokens  # noqa: F401
     got2 = sorted(
         (r["doc_id"], r["source"])
         for r in docs_with_any_token(chunks, index, [t1, 2**64], cfg=CFG).collect()
