@@ -23,82 +23,111 @@ single-window variant remains available (distributed_cumsum=False) as the
 equivalence reference. The heavy data movement (token slices -> sequences)
 is seq-keyed and fully parallel.
 
-Single-fat-exchange path (round-4 verdict #3): on unprepared input the
-token arrays are exchanged twice — once for the positions join back on
-(source, order), once seq-keyed for reassembly. Only the second is
-fundamental. `write_bucketed_tokens` materializes the token table
-bucketed + sorted by exactly the join key; Spark's bucketed scan then
-reports the HashPartitioning the join needs (alias-aware, so the internal
-(source, __ord) rename is transparent), the positions join runs with NO
-exchange or sort on the fat side (only the narrow cumsum rows shuffle to
-the bucket layout), and the packed plan carries the arrays through a
-SINGLE exchange. At 100 TB the bucketing cost is paid once by the table
-writer and amortized over every pack/epoch that reads it.
+Single-fat-exchange paths (round-4 verdict #3, tightened round 6): only
+the seq-keyed reassembly exchange of the token arrays is fundamental.
+The positions join avoids moving the arrays two ways —
+- default (round 6): when the doc count (known exactly from the offsets
+  aggregate) is under ~4M, the narrow cumsum table is BROADCAST into the
+  join, so unprepared input also packs with a single fat exchange;
+- at scale: `write_bucketed_tokens` materializes the token table
+  bucketed + sorted by exactly the join key; Spark's bucketed scan then
+  reports the HashPartitioning the forced sort-merge join needs
+  (alias-aware, so the internal (source, __ord) rename is transparent),
+  and the positions join runs with NO exchange or sort on the fat side
+  (only the narrow cumsum rows shuffle to the bucket layout). At 100 TB
+  the bucketing cost is paid once by the table writer and amortized over
+  every pack/epoch that reads it.
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window, functions as F
 
+# Auto-broadcast ceiling for the positions join: one cumsum row per doc,
+# so row count == doc count and ~4M rows build a few-hundred-MB hashed
+# relation (guide §3.1's comfortable zone under the 8 GB broadcast cap).
+# Parameterised for deployments with bigger drivers; above it the join
+# falls back to a shuffle join of the fat side — the case the
+# write_bucketed_tokens layout exists for.
+_PACK_BROADCAST_MAX_DOCS = int(
+    os.environ.get("SPARK_GRAFT_PACK_BROADCAST_DOCS", "4000000")
+)
 
-def _distributed_prefix_sum(base: DataFrame) -> DataFrame:
+
+def _distributed_prefix_sum(
+    base: DataFrame, broadcast_positions: bool | None = None
+) -> DataFrame:
     """Per-source running token count WITHOUT a one-task-per-source window:
     the classic two-phase distributed prefix sum, on the NARROW (source,
     __ord, __len) triples only (token arrays never ride through it).
 
-    1. Range-partition by (source, __ord) and sort within partitions —
-       boundaries come from Spark's sampling, so PARALLELISM varies run to
-       run, but the running sums are a pure function of the total order and
-       therefore deterministic.
-    2. One tiny aggregate (partitions x sources rows) collected to the
-       driver gives each (partition, source) its global offset.
+    1. Range-partition by (source, __ord), stamp partition ids, and cut the
+       lineage (eager localCheckpoint) — boundaries come from Spark's
+       sampling, so PARALLELISM varies run to run, but the running sums are
+       a pure function of the total order and therefore deterministic; the
+       checkpoint pins the sampled pids so no later re-evaluation can see
+       re-sampled boundaries.
+    2. ONE tiny aggregate (partitions x sources rows) collected to the
+       driver yields the per-(partition, source) offsets AND the key
+       contract (null/duplicate (source, __ord) keys fail typed — range
+       partitioning colocates equal keys, so per-group distinct counts sum
+       to the global one).
     3. A local window inside each range partition adds offset + local
        cumsum; token arrays are joined back on the (source, __ord) key.
+
+    Join strategy (guide §3.1/§8.4): the fat side must NEVER be broadcast —
+    the planner cannot estimate the checkpointed narrow side and has been
+    observed to broadcast the token arrays instead (plans/r06/
+    sequence_pack_before.txt node 11). Default: broadcast the NARROW cumsum
+    side when the now-known doc count allows, so the arrays are not
+    shuffled at all; above the ceiling, force a shuffle join (which a
+    bucketed fat table satisfies without moving the arrays either).
     """
     spark = base.sparkSession
     p = max(spark.sparkContext.defaultParallelism, 2)
-    # persisted: the totals pass and the cumsum pass must observe the SAME
-    # partition ids — a re-evaluated repartitionByRange re-samples its
-    # boundaries, and spark_partition_id is only meaningful per evaluation.
-    # (No sortWithinPartitions here: the local window below sorts by __ord
-    # itself; only the range PARTITIONING matters.) Narrow rows only
-    # (3 small columns), never the token arrays.
     narrow = (
         base.select("source", "__ord", "__len")
         .repartitionByRange(p, "source", "__ord")
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    # key-contract check on the cached narrow rows (one tiny agg): the
-    # positions join back on (source, __ord), so null or duplicate keys
-    # would silently DROP or duplicate documents while their lengths still
-    # shift every later position (review finding) — typed error instead
-    chk = narrow.agg(
-        F.count("*").alias("n"),
-        F.count(F.when(F.col("source").isNull() | F.col("__ord").isNull(), 1)).alias("n_null"),
-        F.countDistinct("source", "__ord").alias("n_key"),
-    ).collect()[0]
-    if int(chk["n_null"]):
-        narrow.unpersist()
-        raise ValueError(
-            f"pack_sequences: {chk['n_null']} row(s) with null source/order "
-            "key — packing needs non-null (source, doc_order)"
-        )
-    if int(chk["n_key"]) != int(chk["n"]):
-        narrow.unpersist()
-        raise ValueError(
-            f"pack_sequences: duplicate (source, doc_order) keys "
-            f"({chk['n']} rows, {chk['n_key']} distinct) — the concat order "
-            "would be ambiguous and the position join many-to-many"
-        )
-    totals = (
+    # offsets + key contract in one pass: the positions join back on
+    # (source, __ord), so null or duplicate keys would silently DROP or
+    # duplicate documents while their lengths still shift every later
+    # position (review finding) — typed error instead
+    grouped = (
         narrow.groupBy("__pid", "source")
-        .agg(F.sum("__len").alias("__t"))
+        .agg(
+            F.sum("__len").alias("__t"),
+            F.count("*").alias("__n"),
+            F.count(
+                F.when(F.col("source").isNull() | F.col("__ord").isNull(), 1)
+            ).alias("__n_null"),
+            F.countDistinct("__ord").alias("__n_key"),
+        )
         .collect()
     )
+    n = sum(int(r["__n"]) for r in grouped)
+    n_null = sum(int(r["__n_null"]) for r in grouped)
+    if n_null:
+        raise ValueError(
+            f"pack_sequences: {n_null} row(s) with null source/order "
+            "key — packing needs non-null (source, doc_order)"
+        )
+    # equal (source, __ord) keys share a range partition, so summing the
+    # per-(pid, source) distinct counts is the global distinct count
+    n_key = sum(int(r["__n_key"]) for r in grouped)
+    if n_key != n:
+        raise ValueError(
+            f"pack_sequences: duplicate (source, doc_order) keys "
+            f"({n} rows, {n_key} distinct) — the concat order "
+            "would be ambiguous and the position join many-to-many"
+        )
     by_src: dict = {}
     offsets = {}
-    for r in sorted(totals, key=lambda r: (r["source"], r["__pid"])):
+    for r in sorted(grouped, key=lambda r: (r["source"], r["__pid"])):
         key = (r["__pid"], r["source"])
         offsets[key] = by_src.get(r["source"], 0)
         by_src[r["source"]] = offsets[key] + int(r["__t"])
@@ -113,18 +142,21 @@ def _distributed_prefix_sum(base: DataFrame) -> DataFrame:
         .orderBy("__ord")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # lazy: re-evaluation is safe because narrow (pids included) is
+    # checkpointed data — the window is a pure function of it
     cum_narrow = (
         narrow.join(off_df, ["__pid", "source"])
         .withColumn("__cum_end", F.col("__off") + F.sum("__len").over(wl))
         .select("source", "__ord", "__cum_end")
-        # eager lineage cut: after this the pid-dependent computation can
-        # never be re-evaluated against re-sampled range boundaries, and
-        # the cached narrow table can be released immediately instead of
-        # lingering for the session (review finding)
-        .localCheckpoint(eager=True)
     )
-    narrow.unpersist()
-    return base.join(cum_narrow, ["source", "__ord"])
+    if broadcast_positions is None:
+        broadcast_positions = n <= _PACK_BROADCAST_MAX_DOCS
+    if broadcast_positions:
+        return base.join(F.broadcast(cum_narrow), ["source", "__ord"])
+    # merge hint pins a sort-merge join: never lets the planner broadcast
+    # the un-estimatable side (= the token arrays) by mistake; a bucketed
+    # fat scan satisfies it with no exchange on the arrays
+    return base.join(cum_narrow.hint("merge"), ["source", "__ord"])
 
 
 def pack_sequences(
@@ -132,6 +164,7 @@ def pack_sequences(
     seq_len: int,
     doc_order: str = "doc_id",
     distributed_cumsum: bool = True,
+    broadcast_positions: bool | None = None,
 ) -> DataFrame:
     """Token table -> packed-sequence table
     (source, seq_id, tokens, n_tokens, n_docs, boundaries) — boundaries =
@@ -142,7 +175,13 @@ def pack_sequences(
     concat order is (source, doc_order), positions come from an exact
     running sum, and the per-sequence reassembly sorts slices by their
     global start offset. Every sequence has exactly seq_len tokens except
-    the last one per source. Zero-token documents contribute nothing."""
+    the last one per source. Zero-token documents contribute nothing.
+
+    broadcast_positions: None (default) broadcasts the narrow cumsum table
+    into the positions join when the doc count is known small (the token
+    arrays then move through ONE exchange, the seq-keyed reassembly);
+    False pins the shuffle-join plan (the bucketed-table path); True
+    forces the broadcast regardless of count."""
     if seq_len < 1:
         raise ValueError("seq_len must be >= 1")
     L = F.lit(int(seq_len)).cast("long")
@@ -151,7 +190,7 @@ def pack_sequences(
         F.size("tokens").cast("long").alias("__len"),
     )
     if distributed_cumsum:
-        cum = _distributed_prefix_sum(base)
+        cum = _distributed_prefix_sum(base, broadcast_positions)
     else:
         w = (
             Window.partitionBy("source")

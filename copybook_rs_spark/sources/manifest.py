@@ -79,14 +79,43 @@ def write_encoded(
 ) -> None:
     """Write chunk table (partitioned by source — Iceberg-style partition
     pruning on the hot key) and its manifest. Spark's job-commit protocol
-    provides the atomic temp+rename."""
+    provides the atomic temp+rename.
+
+    The two post-write jobs (uniqueness guard, manifest build) are
+    independent reads of the written files, so they run concurrently from
+    driver threads (guide §2.6) — both are metadata-cheap (neither touches
+    the blob column), their wall cost is mostly job overhead, and
+    overlapping them halves it. The guard's failure still aborts before
+    this function returns (a failed write_encoded never leaves a
+    manifest-certified dir: the exception from either thread propagates)."""
     chunks_path = os.path.join(out_dir, "chunks")
     manifest_path = os.path.join(out_dir, "manifest")
     chunk_df.write.mode(mode).partitionBy("source").parquet(chunks_path)
     spark = chunk_df.sparkSession
     written = spark.read.parquet(chunks_path)
-    assert_unique_chunk_ids(written)
-    build_manifest(written).write.mode(mode).parquet(manifest_path)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        guard = pool.submit(assert_unique_chunk_ids, written)
+        manifest_err: Exception | None = None
+        try:
+            build_manifest(written).write.mode(mode).parquet(manifest_path)
+        except Exception as e:  # report AFTER the guard's verdict
+            manifest_err = e
+        try:
+            guard.result()
+        except Exception:
+            # roll back the concurrently-written manifest: a guard failure
+            # must leave no certified-looking dir (the sequential order's
+            # postcondition). Hadoop FS API = works on any Spark filesystem.
+            jvm = spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(manifest_path)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(jpath):
+                fs.delete(jpath, True)
+            raise
+        if manifest_err is not None:
+            raise manifest_err
 
 
 def assert_unique_chunk_ids(chunks: DataFrame) -> None:

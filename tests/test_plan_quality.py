@@ -191,10 +191,10 @@ def test_pregrouped_encode_plan_has_no_exchange(spark):
 
 def test_pack_sequences_plan_quality(spark):
     # nothing in the packing plan may fall back to a cartesian or
-    # nested-loop join. (The offsets join inside _distributed_prefix_sum
-    # executes EAGERLY behind the localCheckpoint lineage cut, so it never
-    # appears in the returned lazy plan — its broadcast is asserted on the
-    # fragment directly below.)
+    # nested-loop join, and the default positions join must broadcast the
+    # NARROW cumsum side — NEVER the token arrays (round-6 finding: the
+    # planner cannot estimate the checkpointed narrow side and broadcast
+    # the estimated-small FAT side instead, shipping the arrays).
     from copybook_rs_spark.operators.packing import pack_sequences
 
     rows = [(f"d{i:03d}", list(range(i % 7 + 1)), i % 7 + 1, f"s{i % 2}")
@@ -204,6 +204,21 @@ def test_pack_sequences_plan_quality(spark):
     )
     plan = pack_sequences(df, 8)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # positions join: broadcast build side is the narrow (__cum_end) table,
+    # so the fat side's only exchange is the seq-keyed reassembly
+    assert "BroadcastHashJoin" in plan, plan
+    bcast_sections = [
+        sec for sec in plan.split("BroadcastExchange") if "__cum_end" in sec
+    ]
+    assert bcast_sections, plan  # the cumsum table is the broadcast side
+    assert "tokens" not in plan.split("BroadcastExchange", 1)[1].split(
+        "BroadcastHashJoin"
+    )[0], "token arrays must not ride a BroadcastExchange"
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert sum("seq_id" in ln for ln in ex) == 1, ex  # the ONE fat exchange
+    # every other hashpartitioning exchange is narrow-side machinery (the
+    # window's (__pid, source) clustering inside the broadcast subtree)
+    assert all("seq_id" in ln or "__pid" in ln for ln in ex), ex
     # offsets-join fragment: an explicit F.broadcast on a tiny keyed table
     # must plan as a BroadcastHashJoin
     narrow = df.selectExpr("source", "doc_id as __ord", "n_tok as __len")
@@ -237,16 +252,25 @@ def test_pack_sequences_bucketed_single_fat_exchange(spark, tmp_path):
     try:
         spark.sql("DROP TABLE IF EXISTS __test_tok_bucketed")
         bt = write_bucketed_tokens(df, "__test_tok_bucketed", 4)
-        packed = pack_sequences(bt, 16)
+        # broadcast_positions=False pins the at-scale fallback (the plan
+        # write_bucketed_tokens exists for); the default would broadcast
+        # the narrow side at this row count and skip the join exchange
+        # entirely (asserted in test_pack_sequences_plan_quality)
+        packed = pack_sequences(bt, 16, broadcast_positions=False)
         plan = packed._jdf.queryExecution().executedPlan().toString()
         assert "Bucketed: true" in plan  # fat scan supplies the join layout
         ex = [
             ln for ln in plan.splitlines()
             if "Exchange hashpartitioning" in ln
         ]
-        assert len(ex) == 2, ex
         assert sum("seq_id" in ln for ln in ex) == 1  # the ONE fat exchange
         assert sum("__ord" in ln for ln in ex) == 1  # narrow cumsum rows
+        # anything else is the narrow window's (__pid, source) clustering
+        # (visible in the lazy plan since round 6 moved the lineage cut
+        # upstream); the arrays never ride it
+        assert all(
+            "seq_id" in ln or "__ord" in ln or "__pid" in ln for ln in ex
+        ), ex
         want = {
             (r["source"], r["seq_id"], tuple(r["tokens"]),
              tuple(r["boundaries"]), r["n_docs"])

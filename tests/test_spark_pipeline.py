@@ -349,6 +349,25 @@ def test_compression_beats_plain(spark, tok_df):
     assert r["enc"] < r["raw"]  # tokens < 50257 -> ~2 bytes/token worst case
 
 
+def test_write_encoded_duplicate_ids_leave_no_manifest(spark, tok_df, tmp_path):
+    # round-6 change: the uniqueness guard and the manifest build run as
+    # CONCURRENT post-write jobs — the guard failure must still surface
+    # typed AND the dir must not end up manifest-certified (the sequential
+    # order's postcondition, now enforced by rollback)
+    import os
+
+    import pytest
+
+    from copybook_rs_spark.errors import PipelineContractError
+
+    out = str(tmp_path / "enc_dup")
+    chunk_df = encode_tokens(tok_df, CFG)
+    dup_one = chunk_df.limit(1)
+    with pytest.raises(PipelineContractError, match="duplicate chunk_ids"):
+        mani.write_encoded(chunk_df.unionByName(dup_one), out)
+    assert not os.path.exists(os.path.join(out, "manifest"))
+
+
 def test_manifest_and_resume(spark, tok_df, tmp_path):
     out = str(tmp_path / "enc")
     cfg = CFG
