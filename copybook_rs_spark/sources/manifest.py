@@ -179,9 +179,24 @@ def register_views(
     chunks = read_chunks(spark, out_dir)
     manifest = read_manifest(spark, out_dir)
     want = (cfg or EncodeConfig()).fingerprint
-    fps = sorted(
+    raw_fps = [
         r["schema_fp"] for r in chunks.select("schema_fp").distinct().collect()
-    )
+    ]
+    if not raw_fps:
+        raise PipelineContractError(
+            f"register_views: no chunk rows at {out_dir!r} — the directory "
+            "is empty or not a write_encoded table"
+        )
+    if any(f is None for f in raw_fps):
+        # schema-reconciled read of a pre-schema_fp table (the scenario
+        # certify_blob_crc guards for blob_crc): typed, not a sorted()
+        # TypeError on None
+        raise PipelineContractError(
+            f"register_views: table at {out_dir!r} has chunk rows with NULL "
+            "schema_fp — written before fingerprinting; re-encode or "
+            "compact it before registering SQL views"
+        )
+    fps = sorted(raw_fps)
     if fps != [want]:
         raise PipelineContractError(
             f"register_views: table at {out_dir!r} has schema_fp(s) "

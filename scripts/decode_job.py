@@ -108,10 +108,17 @@ def main() -> int:
         return 2
     except Exception as e:  # noqa: BLE001 — strict-mode task errors arrive
         # wrapped by Py4J (the typed CBSP* raise happens executor-side);
-        # surface them with the same exit code as driver-side typed errors
-        if "CBSP" in str(e):
+        # surface them with the same exit code as driver-side typed errors.
+        # Match the error-CODE pattern (CBSP + 3 digits), not the bare
+        # substring — a path or table name containing 'CBSP' must not
+        # swallow an unrelated traceback (ADVICE r5)
+        import re
+
+        m = re.search(r"CBSP\d{3}", str(e))
+        if m:
             first = next(
-                (ln for ln in str(e).splitlines() if "CBSP" in ln), str(e)[:300]
+                (ln for ln in str(e).splitlines() if re.search(r"CBSP\d{3}", ln)),
+                str(e)[:300],
             )
             print(json.dumps({"error": first.strip()[:500]}))
             return 2
@@ -129,10 +136,16 @@ def main() -> int:
         )
         have = set(out.columns)
         checks_ok = True
+        # record which checks actually RAN: a --columns projection that
+        # excludes tokens/n_tok disables some of them, and a report that
+        # still said verify:'ok' looked as strongly verified as a full run
+        # (ADVICE r5)
+        checks_ran: list[str] = []
         if {"tokens", "n_tok"} <= have:
             bad = out.filter(F.size("tokens") != F.col("n_tok")).count()
             report["odo_mismatches"] = bad
             checks_ok &= bad == 0
+            checks_ran.append("odo_size_eq_n_tok")
         expect = chunk_df.agg(
             F.sum("n_rows").alias("docs"), F.sum("n_values").alias("vals")
         ).collect()[0]
@@ -145,12 +158,25 @@ def main() -> int:
         # lenient runs legitimately decode fewer docs (skipped chunks)
         if args.policy == "strict" and summary.get("n_errors", 0) == 0:
             checks_ok &= got_docs == exp_docs
+            checks_ran.append("doc_total")
             if "tokens" in have:
                 got_vals = int(
                     out.agg(F.sum(F.size("tokens"))).collect()[0][0] or 0
                 )
                 report["tokens_decoded"] = got_vals
                 checks_ok &= got_vals == exp_vals
+                checks_ran.append("token_total")
+        report["checks"] = checks_ran
+        skipped = sorted(
+            {"odo_size_eq_n_tok", "doc_total", "token_total"} - set(checks_ran)
+        )
+        if skipped:
+            report["checks_skipped"] = skipped
+            print(
+                f"warning: --verify ran without {','.join(skipped)} "
+                "(projection or policy disabled them)",
+                file=sys.stderr,
+            )
         if not checks_ok:
             report["verify"] = "FAIL"
             print(json.dumps(report))

@@ -825,3 +825,37 @@ def test_register_views_certifies_schema_fp(spark, tmp_path):
         register_views(spark, out, prefix="bad")
     register_views(spark, out, prefix="ok", cfg=cfg)
     assert spark.sql("SELECT count(*) FROM ok_tokens").collect()[0][0] == 2000
+
+
+def test_register_views_null_fp_and_empty_dir_fail_typed(spark, tmp_path):
+    # ADVICE r5: a NULL schema_fp (pre-fingerprint table under a
+    # schema-reconciled read) must raise a typed contract error, not an
+    # untyped sorted() TypeError; an empty chunks dir must say so instead
+    # of reporting a misleading "schema_fp(s) []" mismatch
+    from copybook_rs_spark.config import EncodeConfig
+    from copybook_rs_spark.errors import PipelineContractError
+    from copybook_rs_spark.operators import encode_tokens
+    from copybook_rs_spark.sources.manifest import build_manifest, register_views
+    from copybook_rs_spark.sources.tokens import token_table
+
+    cfg = EncodeConfig(chunk_values=8192, target_values_per_part=32_768)
+    tok = token_table(spark, "/root/testdata/sf0.001").limit(2000)
+    out = str(tmp_path / "encnull")
+    chunks = encode_tokens(tok, cfg)
+    # simulate a pre-schema_fp table: null out the fingerprint column
+    chunks.withColumn(
+        "schema_fp", F.lit(None).cast("string")
+    ).write.parquet(out + "/chunks")
+    build_manifest(spark.read.parquet(out + "/chunks")).write.parquet(
+        out + "/manifest"
+    )
+    with pytest.raises(PipelineContractError, match="NULL schema_fp"):
+        register_views(spark, out, prefix="nullfp", cfg=cfg)
+
+    out2 = str(tmp_path / "encempty")
+    chunks.limit(0).write.parquet(out2 + "/chunks")
+    build_manifest(spark.read.parquet(out2 + "/chunks")).write.parquet(
+        out2 + "/manifest"
+    )
+    with pytest.raises(PipelineContractError, match="empty or not"):
+        register_views(spark, out2, prefix="emptyfp", cfg=cfg)

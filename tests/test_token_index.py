@@ -336,3 +336,51 @@ def test_any_token_disjunction_matches_brute_force(spark, chunks, index):
     assert docs_with_any_token(chunks, index, [2**64], cfg=CFG).count() == 0
     with pytest.raises(PipelineContractError):
         docs_with_any_token(chunks, index, [], cfg=CFG)
+
+
+def test_probe_batch_matches_scalar_reference():
+    # round-6 vectorization: _probe_batch must answer bit-for-bit like the
+    # per-row _maybe_contains fold it replaced, across bitmap rows, Bloom
+    # rows of several m_bits sizes, empty-bits rows and out-of-range
+    # needles, for both the conjunctive and disjunctive folds
+    from copybook_rs_spark.operators.token_index import (
+        _maybe_contains,
+        _presence_bits,
+        _probe_batch,
+    )
+
+    rng = np.random.default_rng(99)
+    rows = []
+    for i in range(200):
+        shape = i % 4
+        if shape == 0:  # narrow range -> exact bitmap
+            vals = rng.integers(0, 5000, rng.integers(1, 400))
+        elif shape == 1:  # wide range -> bloom, size varies with distinct
+            vals = rng.integers(0, 2**40, rng.integers(1, 3000))
+        elif shape == 2:  # wide + small distinct -> small bloom
+            vals = rng.choice(
+                rng.integers(0, 2**40, 8), rng.integers(1, 50)
+            )
+        else:  # empty
+            vals = np.empty(0, dtype=np.int64)
+        rows.append(_presence_bits(vals.astype(np.int64)))
+    kinds = np.array([r[0] for r in rows], dtype=np.int64)
+    refs = np.array([r[1] for r in rows], dtype=np.int64)
+    bits = [r[3] for r in rows]
+    needles_sets = [
+        [0], [1212], [-5], [2**39], [4999, 5000, 2**40 - 1], [7, 2**35, 12],
+    ]
+    for needles in needles_sets:
+        for conj in (True, False):
+            fold = all if conj else any
+            want = np.array(
+                [
+                    fold(
+                        _maybe_contains(int(k), int(r), b, t)
+                        for t in needles
+                    )
+                    for k, r, b in zip(kinds, refs, bits)
+                ]
+            )
+            got = _probe_batch(kinds, refs, bits, needles, conj)
+            assert np.array_equal(got, want), (needles, conj)
