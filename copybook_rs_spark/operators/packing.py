@@ -41,19 +41,18 @@ The positions join avoids moving the arrays two ways —
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, Window, functions as F
+
+from copybook_rs_spark.operators.decode import _env_int
 
 # Auto-broadcast ceiling for the positions join: one cumsum row per doc,
 # so row count == doc count and ~4M rows build a few-hundred-MB hashed
 # relation (guide §3.1's comfortable zone under the 8 GB broadcast cap).
 # Parameterised for deployments with bigger drivers; above it the join
 # falls back to a shuffle join of the fat side — the case the
-# write_bucketed_tokens layout exists for.
-_PACK_BROADCAST_MAX_DOCS = int(
-    os.environ.get("SPARK_GRAFT_PACK_BROADCAST_DOCS", "4000000")
-)
+# write_bucketed_tokens layout exists for. _env_int = warn-and-default on
+# malformed values (the round-4 env-knob discipline), never an import error.
+_PACK_BROADCAST_MAX_DOCS = _env_int("SPARK_GRAFT_PACK_BROADCAST_DOCS", 4_000_000)
 
 
 def _distributed_prefix_sum(
@@ -111,6 +110,10 @@ def _distributed_prefix_sum(
     )
     n = sum(int(r["__n"]) for r in grouped)
     n_null = sum(int(r["__n_null"]) for r in grouped)
+    # on the typed-error paths below, the checkpointed narrow blocks (3
+    # small columns per doc) are released by the ContextCleaner once the
+    # RDD is unreachable — localCheckpoint has no explicit free, and both
+    # raises are immediate caller errors
     if n_null:
         raise ValueError(
             f"pack_sequences: {n_null} row(s) with null source/order "
@@ -142,12 +145,17 @@ def _distributed_prefix_sum(
         .orderBy("__ord")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # lazy: re-evaluation is safe because narrow (pids included) is
-    # checkpointed data — the window is a pure function of it
+    # lazy checkpoint: correctness never needs it (narrow, pids included,
+    # is already checkpointed data and the window is a pure function of
+    # it) — but multi-action callers would otherwise re-run the window +
+    # offsets join and rebuild the broadcast per action; eager=False
+    # materializes on the FIRST action and reuses after, without paying an
+    # extra job at pack() time
     cum_narrow = (
         narrow.join(off_df, ["__pid", "source"])
         .withColumn("__cum_end", F.col("__off") + F.sum("__len").over(wl))
         .select("source", "__ord", "__cum_end")
+        .localCheckpoint(eager=False)
     )
     if broadcast_positions is None:
         broadcast_positions = n <= _PACK_BROADCAST_MAX_DOCS

@@ -190,6 +190,10 @@ def _probe_batch(
     n = len(kinds)
     if n == 0:
         return np.zeros(0, dtype=bool)
+    # NULL bits (nullable after a parquet round-trip of a hand-maintained
+    # index) answer False exactly like the scalar reference's falsy guard
+    if any(b is None for b in bits_list):
+        bits_list = [b if b is not None else b"" for b in bits_list]
     lens = np.fromiter((len(b) for b in bits_list), np.int64, count=n)
     offs = np.zeros(n + 1, np.int64)
     np.cumsum(lens, out=offs[1:])
@@ -206,8 +210,13 @@ def _probe_batch(
     for t in needles:
         res = np.zeros(n, dtype=bool)
         if len(bitmap_rows):
-            pos = t - refs[bitmap_rows]
-            ok = (pos >= 0) & (pos < 8 * lens[bitmap_rows])
+            rr = refs[bitmap_rows]
+            pos = t - rr
+            # the extra t >= ref mask makes the int64 subtraction exact:
+            # a true in-range pos implies t >= ref and a tiny difference
+            # (no wrap); t >= ref with wrap goes negative (excluded);
+            # t < ref (true pos < 0) could wrap POSITIVE without the mask
+            ok = (t >= rr) & (pos >= 0) & (pos < 8 * lens[bitmap_rows])
             rows = bitmap_rows[ok]
             p = pos[ok]
             res[rows] = (buf[offs[rows] + (p >> 3)] >> (p & 7)) & 1 > 0

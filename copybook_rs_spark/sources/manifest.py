@@ -93,6 +93,13 @@ def write_encoded(
     chunk_df.write.mode(mode).partitionBy("source").parquet(chunks_path)
     spark = chunk_df.sparkSession
     written = spark.read.parquet(chunks_path)
+    if mode != "overwrite":
+        # append (or any non-overwrite) mode: the manifest dir may hold
+        # prior commits this call must never destroy, so rollback is not an
+        # option — keep the sequential guard-then-manifest order instead
+        assert_unique_chunk_ids(written)
+        build_manifest(written).write.mode(mode).parquet(manifest_path)
+        return
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=1) as pool:
@@ -107,7 +114,8 @@ def write_encoded(
         except Exception:
             # roll back the concurrently-written manifest: a guard failure
             # must leave no certified-looking dir (the sequential order's
-            # postcondition). Hadoop FS API = works on any Spark filesystem.
+            # postcondition). Overwrite mode only — the dir holds nothing
+            # but this call's output. Hadoop FS API = any Spark filesystem.
             jvm = spark._jvm
             jpath = jvm.org.apache.hadoop.fs.Path(manifest_path)
             fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())

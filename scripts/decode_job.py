@@ -174,7 +174,8 @@ def main() -> int:
             report["checks_skipped"] = skipped
             print(
                 f"warning: --verify ran without {','.join(skipped)} "
-                "(projection or policy disabled them)",
+                "(disabled by the projection, a lenient policy, or "
+                "decode errors in this run)",
                 file=sys.stderr,
             )
         if not checks_ok:

@@ -367,8 +367,21 @@ def test_probe_batch_matches_scalar_reference():
     kinds = np.array([r[0] for r in rows], dtype=np.int64)
     refs = np.array([r[1] for r in rows], dtype=np.int64)
     bits = [r[3] for r in rows]
+    # adversarial rows for the int64-wrap guard: a bitmap whose ref (vmin)
+    # sits near +2^63 probed with needles near -2^63 — t - ref wraps
+    # positive in int64; the t >= ref mask must keep the answer False
+    # exactly like the scalar reference's arbitrary-precision pos < 0
+    kinds = np.append(kinds, [0, 0])
+    refs = np.append(refs, [2**63 - 10, 2**62])
+    bits.extend([b"\xff" * 16, b"\xff" * 16])
+    # NULL bits row (nullable after a parquet round-trip): scalar guard
+    # answers False; the batch path must not TypeError
+    kinds = np.append(kinds, [1])
+    refs = np.append(refs, [0])
+    bits.append(None)
     needles_sets = [
         [0], [1212], [-5], [2**39], [4999, 5000, 2**40 - 1], [7, 2**35, 12],
+        [-(2**63), -(2**63) + 5, 2**63 - 1],
     ]
     for needles in needles_sets:
         for conj in (True, False):
