@@ -551,6 +551,13 @@ def prepare_grouped(
             df, cfg.target_values_per_part, cfg.max_salt,
             chunk_floor=cfg.chunk_values,
         )
+    # Partition-count note (round 6): at sf0.1/local[32] the 66 groups
+    # hash into only 26 non-empty of 32 partitions with a 2.9x-of-ideal
+    # byte makespan — but a 2x/4x parallelism floor measured SLOWER
+    # (interleaved noop A/B: P32 1.09-1.13 s vs P64 1.12-1.24 vs P128
+    # 1.44-1.47 warm): per-task overhead and map/kernel stage overlap
+    # outweigh the byte imbalance at this group size. Keeping
+    # max(groups, parallelism); content never depends on it (invariant 2).
     num_parts = cfg.shuffle_partitions or max(
         sum(salts.values()), df.sparkSession.sparkContext.defaultParallelism
     )
