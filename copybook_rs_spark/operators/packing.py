@@ -86,11 +86,17 @@ def _distributed_prefix_sum(
     """
     spark = base.sparkSession
     p = max(spark.sparkContext.defaultParallelism, 2)
+    # lazy checkpoint: the offsets aggregation right below touches every
+    # partition, so it materializes the checkpoint in the SAME job (one
+    # job fewer than eager). Lineage is truncated either way — the stamped
+    # pids can never be recomputed against re-sampled range boundaries
+    # (block loss fails the job rather than recompute, which is the safe
+    # direction for determinism).
     narrow = (
         base.select("source", "__ord", "__len")
         .repartitionByRange(p, "source", "__ord")
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # offsets + key contract in one pass: the positions join back on
     # (source, __ord), so null or duplicate keys would silently DROP or
