@@ -63,11 +63,13 @@ def _distributed_prefix_sum(
     __ord, __len) triples only (token arrays never ride through it).
 
     1. Range-partition by (source, __ord), stamp partition ids, and cut the
-       lineage (eager localCheckpoint) — boundaries come from Spark's
-       sampling, so PARALLELISM varies run to run, but the running sums are
-       a pure function of the total order and therefore deterministic; the
-       checkpoint pins the sampled pids so no later re-evaluation can see
-       re-sampled boundaries.
+       lineage (LAZY localCheckpoint, materialized by step 2's aggregation
+       in the same job) — boundaries come from Spark's sampling, so
+       PARALLELISM varies run to run, but the running sums are a pure
+       function of the total order and therefore deterministic; the
+       truncated lineage pins the sampled pids before this function
+       returns (block loss fails the job rather than recompute against
+       re-sampled boundaries).
     2. ONE tiny aggregate (partitions x sources rows) collected to the
        driver yields the per-(partition, source) offsets AND the key
        contract (null/duplicate (source, __ord) keys fail typed — range

@@ -87,16 +87,32 @@ def write_encoded(
     the blob column), their wall cost is mostly job overhead, and
     overlapping them halves it. The guard's failure still aborts before
     this function returns (a failed write_encoded never leaves a
-    manifest-certified dir: the exception from either thread propagates)."""
+    manifest-certified dir: the exception from either thread propagates).
+
+    mode="append" is REFUSED (typed): appending here would land the new
+    chunk files before the uniqueness guard can see them (an id clash
+    would leave the chunks dir permanently duplicated) and would re-append
+    a FULL-table manifest next to the existing one (doubling every prior
+    group's totals). Incremental appends are the streaming API's job —
+    streaming/incremental.py commit_batch writes batch-scoped chunk files
+    + manifest PARTS and merge_manifest_parts folds them losslessly."""
+    if mode == "append":
+        raise PipelineContractError(
+            "write_encoded(mode='append') is not supported: appended chunk "
+            "files cannot be guarded or rolled back and the manifest would "
+            "double-count prior groups — use the incremental writer "
+            "(streaming/incremental.py) for appends"
+        )
     chunks_path = os.path.join(out_dir, "chunks")
     manifest_path = os.path.join(out_dir, "manifest")
     chunk_df.write.mode(mode).partitionBy("source").parquet(chunks_path)
     spark = chunk_df.sparkSession
     written = spark.read.parquet(chunks_path)
     if mode != "overwrite":
-        # append (or any non-overwrite) mode: the manifest dir may hold
-        # prior commits this call must never destroy, so rollback is not an
-        # option — keep the sequential guard-then-manifest order instead
+        # error/errorifexists/ignore: under 'ignore' a pre-existing dir is
+        # left untouched by the write, so the rollback below could delete a
+        # manifest this call does NOT own — keep the sequential
+        # guard-then-manifest order for these modes instead
         assert_unique_chunk_ids(written)
         build_manifest(written).write.mode(mode).parquet(manifest_path)
         return

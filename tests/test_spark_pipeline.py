@@ -861,19 +861,20 @@ def test_register_views_null_fp_and_empty_dir_fail_typed(spark, tmp_path):
         register_views(spark, out2, prefix="emptyfp", cfg=cfg)
 
 
-def test_write_encoded_append_guard_preserves_prior_manifest(spark, tok_df, tmp_path):
-    # the concurrent-rollback path is overwrite-only; append keeps the
-    # sequential guard-then-manifest order, so a failing append must leave
-    # the PRIOR manifest bytes fully intact (round-6 review finding)
-    import pytest
-
+def test_write_encoded_refuses_append_mode(spark, tok_df, tmp_path):
+    # round-6 review: append-mode write_encoded is broken BY CONSTRUCTION
+    # (chunk files land before the guard can see an id clash, and the
+    # full-table manifest re-aggregate would double-count every prior
+    # group on success) — it must fail typed, pointing at the incremental
+    # writer, and must touch NOTHING: chunks and manifest stay intact
     from copybook_rs_spark.errors import PipelineContractError
 
     out = str(tmp_path / "enc_app")
     chunk_df = encode_tokens(tok_df, CFG)
     mani.write_encoded(chunk_df, out)
-    before = sorted(map(tuple, mani.read_manifest(spark, out).collect()))
-    with pytest.raises(PipelineContractError, match="duplicate chunk_ids"):
+    before_m = sorted(map(tuple, mani.read_manifest(spark, out).collect()))
+    before_n = mani.read_chunks(spark, out).count()
+    with pytest.raises(PipelineContractError, match="append"):
         mani.write_encoded(chunk_df.limit(1), out, mode="append")
-    after = sorted(map(tuple, mani.read_manifest(spark, out).collect()))
-    assert after == before
+    assert sorted(map(tuple, mani.read_manifest(spark, out).collect())) == before_m
+    assert mani.read_chunks(spark, out).count() == before_n
